@@ -1,0 +1,20 @@
+"""Root conftest: force a virtual 8-device CPU mesh before JAX loads.
+
+All tests run hermetically on CPU (the reference's CI philosophy — see its
+``.github/workflows/ci.yml``); sharding/collective tests use the 8 virtual
+devices. Real-TPU tests are marked ``tpu`` and skipped off-hardware.
+"""
+
+import os
+import sys
+
+# Must happen before the first `import jax` anywhere in the test session.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("TOKENIZERS_PARALLELISM", "false")
+os.environ.setdefault("HF_DATASETS_OFFLINE", "1")
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
