@@ -228,7 +228,7 @@ class TestConsolidation:
         )
         cs = CalibrationSet.from_config(cfg, cache_dir=str(tmp_path))
         roles0 = [m["role"] for m in cs._untokenized_calibration_set[0]["formatted"]]
-        assert roles0 == ["system", "user", "assistant", "tool"]
+        assert roles0 == ["system", "user", "assistant", "tool", "assistant"]
 
 
 class MockTokenizer:
