@@ -1,0 +1,274 @@
+"""compressed-tensors format tests: packing round trips, safetensors I/O,
+sharded checkpoints, config schema round trip."""
+
+import json
+
+import ml_dtypes
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from quantizers_tpu.core import (
+    PRESET_SCHEMES,
+    QuantizationArgs,
+    QuantScheme,
+    QuantStrategy,
+    QuantType,
+    quantize,
+)
+from quantizers_tpu.formats import (
+    CompressedModelReader,
+    CompressedParam,
+    LazySafetensors,
+    ShardedReader,
+    ShardedWriter,
+    build_quantization_config,
+    compress_tensor,
+    decompress_tensor,
+    pack_fp4_to_uint8,
+    pack_int_to_int32,
+    parse_quantization_config,
+    read_safetensors,
+    save_compressed_model,
+    unpack_int32_to_int,
+    unpack_uint8_to_fp4,
+    write_safetensors,
+)
+
+
+def rand(shape, seed=0):
+    return jnp.asarray(np.random.default_rng(seed).normal(size=shape).astype(np.float32))
+
+
+class TestPacking:
+    def test_int4_roundtrip(self):
+        v = np.random.default_rng(0).integers(-8, 8, size=(16, 64)).astype(np.int8)
+        packed = pack_int_to_int32(v, 4)
+        assert packed.shape == (16, 8)
+        assert packed.dtype == np.int32
+        back = unpack_int32_to_int(packed, 4, 64)
+        assert np.array_equal(back, v)
+
+    def test_int4_known_word(self):
+        # values [-8..-1] -> unsigned nibbles [0..7] -> word 0x76543210
+        v = np.arange(-8, 0, dtype=np.int8).reshape(1, 8)
+        packed = pack_int_to_int32(v, 4)
+        assert packed[0, 0] == np.int32(0x76543210)
+
+    def test_int8_roundtrip(self):
+        v = np.random.default_rng(1).integers(-128, 128, size=(4, 8)).astype(np.int8)
+        back = unpack_int32_to_int(pack_int_to_int32(v, 8), 8, 8)
+        assert np.array_equal(back, v)
+
+    def test_ragged_cols_padded(self):
+        v = np.random.default_rng(2).integers(-8, 8, size=(3, 10)).astype(np.int8)
+        packed = pack_int_to_int32(v, 4)
+        assert packed.shape == (3, 2)
+        assert np.array_equal(unpack_int32_to_int(packed, 4, 10), v)
+
+    def test_fp4_roundtrip(self):
+        grid = np.array([0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0], dtype=np.float32)
+        v = np.concatenate([grid, -grid]).reshape(2, 8)
+        packed = pack_fp4_to_uint8(v)
+        assert packed.shape == (2, 4)
+        back = unpack_uint8_to_fp4(packed, 8)
+        # -0.0 folds to +0.0
+        assert np.allclose(back, v)
+
+
+class TestSafetensorsIO:
+    def test_roundtrip_all_dtypes(self, tmp_path):
+        tensors = {
+            "f32": np.random.default_rng(0).normal(size=(3, 4)).astype(np.float32),
+            "bf16": np.random.default_rng(1).normal(size=(2, 8)).astype(ml_dtypes.bfloat16),
+            "fp8": np.asarray([1.0, -2.0, 448.0], dtype=ml_dtypes.float8_e4m3fn),
+            "i32": np.arange(6, dtype=np.int32).reshape(2, 3),
+            "i64": np.asarray([64, 128], dtype=np.int64),
+            "u8": np.arange(8, dtype=np.uint8),
+        }
+        path = tmp_path / "x.safetensors"
+        write_safetensors(path, tensors, metadata={"format": "pt"})
+        back = read_safetensors(path)
+        for name, orig in tensors.items():
+            assert back[name].dtype == orig.dtype
+            assert np.array_equal(back[name], orig), name
+
+    def test_lazy_reader(self, tmp_path):
+        path = tmp_path / "x.safetensors"
+        write_safetensors(path, {"a": np.ones((4, 4), np.float32), "b": np.zeros(3, np.int8)})
+        with LazySafetensors(path) as f:
+            assert set(f.keys()) == {"a", "b"}
+            assert f.info("a") == ("F32", (4, 4))
+            assert np.all(f.get("a") == 1.0)
+
+    def test_header_readable_by_reference_impl(self, tmp_path):
+        """Header structure must parse as spec JSON with data_offsets."""
+        path = tmp_path / "x.safetensors"
+        write_safetensors(path, {"w": np.zeros((2, 2), np.float32)})
+        raw = path.read_bytes()
+        hlen = int.from_bytes(raw[:8], "little")
+        header = json.loads(raw[8 : 8 + hlen])
+        assert header["w"]["dtype"] == "F32"
+        assert header["w"]["data_offsets"] == [0, 16]
+
+    def test_sharded_write_and_read(self, tmp_path):
+        w = ShardedWriter(tmp_path, max_shard_bytes=256)
+        for i in range(6):
+            w.add(f"t{i}", np.full((4, 8), i, np.float32))  # 128B each
+        files = w.finalize()
+        assert len(files) == 3
+        index = json.loads((tmp_path / "model.safetensors.index.json").read_text())
+        assert index["metadata"]["total_size"] == 6 * 128
+        assert len(index["weight_map"]) == 6
+
+        r = ShardedReader(tmp_path, max_open_shards=2)
+        assert np.all(r.get("t5") == 5)
+        assert np.all(r.get("t0") == 0)
+        assert len(r._open) <= 2
+        r.close()
+
+    def test_sharded_reader_without_index(self, tmp_path):
+        write_safetensors(tmp_path / "only.safetensors", {"x": np.ones(2, np.float32)})
+        r = ShardedReader(tmp_path)
+        assert np.all(r.get("x") == 1)
+        r.close()
+
+
+class TestCompressDecompress:
+    def test_pack_quantized_roundtrip(self):
+        w = rand((32, 128), seed=3)
+        args = QuantizationArgs(num_bits=4, type=QuantType.INT, strategy=QuantStrategy.GROUP, group_size=32)
+        qt = quantize(w, args)
+        disk = compress_tensor("model.layers.0.mlp.down_proj", qt, args)
+        assert set(s.split(".")[-1] for s in disk) == {"weight_packed", "weight_scale", "weight_shape"}
+        assert disk["model.layers.0.mlp.down_proj.weight_packed"].dtype == np.int32
+        qt2 = decompress_tensor("model.layers.0.mlp.down_proj", disk, args)
+        assert np.array_equal(np.asarray(qt.values), qt2.values)
+        assert np.allclose(np.asarray(qt.scale, dtype=np.float32),
+                           np.asarray(qt2.scale, dtype=np.float32), rtol=1e-2)
+
+    def test_pack_quantized_asym_has_zero_point(self):
+        w = jnp.abs(rand((8, 64), seed=4))
+        args = QuantizationArgs(num_bits=4, type=QuantType.INT, symmetric=False,
+                                strategy=QuantStrategy.GROUP, group_size=32)
+        qt = quantize(w, args)
+        disk = compress_tensor("m", qt, args)
+        assert "m.weight_zero_point" in disk
+        qt2 = decompress_tensor("m", disk, args)
+        assert np.array_equal(np.asarray(qt.zero_point), qt2.zero_point)
+
+    def test_nvfp4_roundtrip(self):
+        w = rand((16, 64), seed=5)
+        args = PRESET_SCHEMES["NVFP4"].weights
+        qt = quantize(w, args)
+        disk = compress_tensor("m", qt, args)
+        assert disk["m.weight_packed"].dtype == np.uint8
+        assert disk["m.weight_packed"].shape == (16, 32)
+        assert disk["m.weight_scale"].dtype == ml_dtypes.float8_e4m3fn
+        assert disk["m.weight_global_scale"].shape == (1,)
+        qt2 = decompress_tensor("m", disk, args)
+        assert np.allclose(np.asarray(qt.values), qt2.values)
+
+    def test_fp8_block_roundtrip(self):
+        w = rand((256, 256), seed=6)
+        args = PRESET_SCHEMES["FP8_BLOCK"].weights
+        qt = quantize(w, args)
+        disk = compress_tensor("m", qt, args)
+        assert disk["m.weight"].dtype == ml_dtypes.float8_e4m3fn
+        assert disk["m.weight_scale"].shape == (2, 2)
+        qt2 = decompress_tensor("m", disk, args)
+        assert np.allclose(np.asarray(qt.values), qt2.values.astype(np.float32))
+
+    def test_fp8_scale_inv_spelling_accepted(self):
+        w = rand((128, 128), seed=7)
+        args = PRESET_SCHEMES["FP8_BLOCK"].weights
+        qt = quantize(w, args)
+        disk = compress_tensor("m", qt, args)
+        disk["m.weight_scale_inv"] = disk.pop("m.weight_scale")
+        qt2 = decompress_tensor("m", disk, args)
+        assert qt2.scale.shape == (1, 1)
+
+
+class TestQuantizationConfig:
+    def test_build_and_parse(self):
+        groups = {
+            "group_0": PRESET_SCHEMES["FP8_BLOCK"],
+            "group_1": QuantScheme(
+                targets=("Linear", r"re:.*experts\.\d+\.(w1|w2|w3)$"),
+                weights=QuantizationArgs(num_bits=4, type=QuantType.INT,
+                                         strategy=QuantStrategy.GROUP, group_size=32),
+            ),
+        }
+        cfg = build_quantization_config(groups, ignore=["lm_head"])
+        assert cfg["quant_method"] == "compressed-tensors"
+        assert cfg["format"] == "mixed-precision"
+        assert cfg["quantization_status"] == "compressed"
+        assert cfg["config_groups"]["group_1"]["format"] == "pack-quantized"
+        assert cfg["config_groups"]["group_1"]["weights"]["group_size"] == 32
+
+        groups2, ignore2, kv = parse_quantization_config(cfg)
+        assert ignore2 == ["lm_head"]
+        assert groups2["group_1"].weights.num_bits == 4
+        assert kv is None
+
+    def test_kv_cache_scheme(self):
+        from quantizers_tpu.core import KV_CACHE_FP8
+
+        cfg = build_quantization_config({"group_0": PRESET_SCHEMES["W4A16"]}, [], kv_cache_scheme=KV_CACHE_FP8)
+        assert cfg["kv_cache_scheme"]["type"] == "float"
+        _, _, kv = parse_quantization_config(cfg)
+        assert kv.num_bits == 8
+
+
+class TestCheckpointRoundtrip:
+    def test_save_and_load_compressed_model(self, tmp_path):
+        args = QuantizationArgs(num_bits=4, type=QuantType.INT, strategy=QuantStrategy.GROUP, group_size=32)
+        scheme = QuantScheme(targets=("Linear",), weights=args)
+
+        w0 = rand((32, 64), seed=8)
+        w1 = rand((16, 64), seed=9)
+        emb = np.random.default_rng(10).normal(size=(100, 64)).astype(ml_dtypes.bfloat16)
+
+        save_compressed_model(
+            tmp_path,
+            plain_params={"model.embed_tokens.weight": emb},
+            quant_params={
+                "model.layers.0.mlp.up_proj": CompressedParam(quantize(w0, args), args),
+                "model.layers.0.mlp.down_proj": CompressedParam(quantize(w1, args), args),
+            },
+            config_groups={"group_0": scheme},
+            ignore=["lm_head"],
+            base_config={"model_type": "qwen3", "hidden_size": 64},
+        )
+
+        assert (tmp_path / "config.json").exists()
+        cfg = json.loads((tmp_path / "config.json").read_text())
+        assert cfg["model_type"] == "qwen3"
+        assert cfg["quantization_config"]["format"] == "pack-quantized"
+
+        with CompressedModelReader(tmp_path) as reader:
+            assert sorted(reader.quantized_modules()) == [
+                "model.layers.0.mlp.down_proj",
+                "model.layers.0.mlp.up_proj",
+            ]
+            assert reader.plain_tensors() == ["model.embed_tokens.weight"]
+            qt, got_args = reader.load_quantized("model.layers.0.mlp.up_proj")
+            assert got_args.group_size == 32
+            assert qt.shape == (32, 64)
+            emb_back = reader.load_plain("model.embed_tokens.weight")
+            assert emb_back.dtype == ml_dtypes.bfloat16
+
+    def test_ignored_module_has_no_scheme(self, tmp_path):
+        args = QuantizationArgs(num_bits=4, type=QuantType.INT, strategy=QuantStrategy.GROUP, group_size=32)
+        scheme = QuantScheme(targets=("Linear",), weights=args)
+        save_compressed_model(
+            tmp_path,
+            plain_params={"lm_head.weight": np.zeros((8, 8), np.float32)},
+            quant_params={"model.fc": CompressedParam(quantize(rand((8, 32)), args), args)},
+            config_groups={"group_0": scheme},
+            ignore=["lm_head"],
+        )
+        with CompressedModelReader(tmp_path) as reader:
+            assert reader.scheme_for("lm_head") is None
+            assert reader.scheme_for("model.fc") is not None
