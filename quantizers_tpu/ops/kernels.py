@@ -1,0 +1,419 @@
+"""Fused dequant-matmul Pallas TPU kernels.
+
+These are the framework's native compute layer — the TPU equivalent of the
+CUDA kernels the reference reaches through torch/llmcompressor (SURVEY.md
+§7 step 2). Each kernel computes ``y = x @ W^T`` with the weight kept in
+its compressed form in HBM and dequantized on the fly in VMEM, so decode-
+time HBM traffic shrinks by the compression ratio (the whole point of
+weight-only quantization at low batch):
+
+* ``w4``   — INT4 group-quantized (W4A16): packed nibbles are *split-half*
+  (see ops.linear), so unpacking is two shift/mask ops and the two nibble
+  planes behave as two independent K-ranges, each with its own x and scale
+  tiles routed in by BlockSpec index maps. No sublane interleave anywhere.
+* ``w8``   — INT8 channel/group quantized.
+* ``fp8``  — FP8 E4M3 with 128x128 block scales (FP8_BLOCK).
+* ``nvfp4``— FP4 E2M1 with 16-wide micro-group scales (global scale folded
+  into the effective scales at layout-build time).
+
+All kernels accumulate f32 in VMEM scratch across the K grid dimension and
+write bf16. The XLA reference path (ops.dispatch.xla_quant_matmul) is the
+correctness oracle; kernels run in interpret mode on CPU in CI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .linear import QuantLinear
+
+
+class KernelUnsupported(Exception):
+    """Raised when a layout/shape can't go through the fused kernel; the
+    dispatcher falls back to the XLA path."""
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _flatten_x(x: jax.Array, k: int):
+    lead = x.shape[:-1]
+    m = 1
+    for d in lead:
+        m *= d
+    return x.reshape(m, k), lead
+
+
+def _pad_m(x2: jax.Array, bm: int) -> jax.Array:
+    m = x2.shape[0]
+    pad = (-m) % bm
+    if pad:
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+    return x2
+
+
+# ---------------------------------------------------------------------------
+# W4A16: packed uint8 (K/2, N), scales (K/g, N)
+# ---------------------------------------------------------------------------
+
+def _w4_kernel(x_lo, x_hi, w_ref, s_lo, s_hi, o_ref, acc, *, g: int, bk2: int, n_k: int):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _zero():
+        acc[:] = jnp.zeros_like(acc)
+
+    packed = w_ref[:]
+    lo = (packed & 0x0F).astype(jnp.int8) - 8
+    hi = ((packed >> 4) & 0x0F).astype(jnp.int8) - 8
+
+    def plane(vals_i8, s_ref):
+        scale = s_ref[:].astype(jnp.float32)  # (bk2//g, BN)
+        reps = bk2 // g
+        w = vals_i8.astype(jnp.float32).reshape(reps, g, -1) * scale[:, None, :]
+        return w.reshape(bk2, -1).astype(jnp.bfloat16)
+
+    acc[:] += jnp.dot(x_lo[:], plane(lo, s_lo), preferred_element_type=jnp.float32)
+    acc[:] += jnp.dot(x_hi[:], plane(hi, s_hi), preferred_element_type=jnp.float32)
+
+    @pl.when(ki == n_k - 1)
+    def _write():
+        o_ref[:] = acc[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("g", "bm", "bn", "bk2", "interpret"))
+def _w4_matmul_2d(x2, packed, scale, *, g, bm, bn, bk2, interpret):
+    m, k = x2.shape
+    k2, n = packed.shape
+    n_k = k2 // bk2
+    grid = (m // bm, n // bn, n_k)
+
+    # x is consumed twice: rows for the low plane [0, K/2) and the high
+    # plane [K/2, K). Block index maps route each plane its own K-range.
+    x_lo_spec = pl.BlockSpec((bm, bk2), lambda i, j, ki: (i, ki), memory_space=pltpu.VMEM)
+    x_hi_spec = pl.BlockSpec((bm, bk2), lambda i, j, ki: (i, ki + n_k), memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((bk2, bn), lambda i, j, ki: (ki, j), memory_space=pltpu.VMEM)
+    sg = bk2 // g
+    s_lo_spec = pl.BlockSpec((sg, bn), lambda i, j, ki: (ki, j), memory_space=pltpu.VMEM)
+    s_hi_spec = pl.BlockSpec((sg, bn), lambda i, j, ki: (ki + n_k, j), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((bm, bn), lambda i, j, ki: (i, j), memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_w4_kernel, g=g, bk2=bk2, n_k=n_k)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[x_lo_spec, x_hi_spec, w_spec, s_lo_spec, s_hi_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=m * k * 2 + k2 * n + (k // g) * n * 2 + m * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2, x2, packed, scale, scale)
+
+
+def w4_matmul(x: jax.Array, lin: QuantLinear, interpret: Optional[bool] = None) -> jax.Array:
+    md = lin.meta_dict
+    k, n, g = int(md["k"]), int(md["n"]), int(md["group_size"])
+    if lin.zero_point is not None:
+        raise KernelUnsupported("asymmetric w4 goes through the XLA path")
+    if k % (2 * g) or n % 128 or g % 2:
+        raise KernelUnsupported(f"w4 kernel needs 2g|K and 128|N (k={k}, n={n}, g={g})")
+
+    bn = 256 if n % 256 == 0 else 128
+    # one k-step covers bk2 packed rows = bk2 weights per plane
+    bk2 = g
+    while bk2 < 256 and (k // 2) % (bk2 * 2) == 0:
+        bk2 *= 2
+    if (k // 2) % bk2:
+        raise KernelUnsupported(f"w4 kernel: K/2={k//2} not divisible by bk2={bk2}")
+
+    x2, lead = _flatten_x(x, k)
+    m = x2.shape[0]
+    bm = 16 if m <= 16 else (32 if m <= 32 else 128)
+    x2 = _pad_m(x2.astype(jnp.bfloat16), bm)
+
+    out = _w4_matmul_2d(
+        x2, lin.weight, lin.scale, g=g, bm=bm, bn=bn, bk2=bk2,
+        interpret=_interpret() if interpret is None else interpret,
+    )
+    return out[:m].reshape(*lead, n).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# NVFP4: packed codes uint8 (K/2, N), effective scales (K/16, N)
+# ---------------------------------------------------------------------------
+
+def _fp4_decode(codes_u8: jax.Array) -> jax.Array:
+    """E2M1 code (0..15) -> float32, branch-free-ish: value = (0.5*m if e==0
+    else (1 + 0.5*m) * 2^(e-1)), sign from bit 3."""
+    c = codes_u8.astype(jnp.int32)
+    m = (c & 1).astype(jnp.float32)
+    e = (c >> 1) & 0x3
+    mag = jnp.where(
+        e == 0, 0.5 * m,
+        jnp.where(e == 1, 1.0 + 0.5 * m,
+        jnp.where(e == 2, 2.0 + m, 4.0 + 2.0 * m)),
+    )
+    sign = jnp.where((c >> 3) & 1 == 1, -1.0, 1.0)
+    return sign * mag
+
+
+def _nvfp4_kernel(x_lo, x_hi, w_ref, s_lo, s_hi, o_ref, acc, *, g: int, bk2: int, n_k: int):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _zero():
+        acc[:] = jnp.zeros_like(acc)
+
+    packed = w_ref[:]
+    lo = _fp4_decode(packed & 0x0F)
+    hi = _fp4_decode((packed >> 4) & 0x0F)
+
+    def plane(vals_f32, s_ref):
+        scale = s_ref[:].astype(jnp.float32)
+        reps = bk2 // g
+        w = vals_f32.reshape(reps, g, -1) * scale[:, None, :]
+        return w.reshape(bk2, -1).astype(jnp.bfloat16)
+
+    acc[:] += jnp.dot(x_lo[:], plane(lo, s_lo), preferred_element_type=jnp.float32)
+    acc[:] += jnp.dot(x_hi[:], plane(hi, s_hi), preferred_element_type=jnp.float32)
+
+    @pl.when(ki == n_k - 1)
+    def _write():
+        o_ref[:] = acc[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("g", "bm", "bn", "bk2", "interpret"))
+def _nvfp4_matmul_2d(x2, packed, scale, *, g, bm, bn, bk2, interpret):
+    m, k = x2.shape
+    k2, n = packed.shape
+    n_k = k2 // bk2
+    grid = (m // bm, n // bn, n_k)
+    sg = bk2 // g
+
+    return pl.pallas_call(
+        functools.partial(_nvfp4_kernel, g=g, bk2=bk2, n_k=n_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk2), lambda i, j, ki: (i, ki), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bk2), lambda i, j, ki: (i, ki + n_k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk2, bn), lambda i, j, ki: (ki, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sg, bn), lambda i, j, ki: (ki, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sg, bn), lambda i, j, ki: (ki + n_k, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, ki: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=m * k * 2 + k2 * n + (k // g) * n * 2 + m * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2, x2, packed, scale, scale)
+
+
+def nvfp4_matmul(x: jax.Array, lin: QuantLinear, interpret: Optional[bool] = None) -> jax.Array:
+    md = lin.meta_dict
+    k, n, g = int(md["k"]), int(md["n"]), int(md.get("group_size", 16))
+    if k % (2 * g) or n % 128:
+        raise KernelUnsupported(f"nvfp4 kernel needs 2g|K and 128|N (k={k}, n={n})")
+
+    bn = 256 if n % 256 == 0 else 128
+    bk2 = g
+    while bk2 < 256 and (k // 2) % (bk2 * 2) == 0:
+        bk2 *= 2
+
+    x2, lead = _flatten_x(x, k)
+    m = x2.shape[0]
+    bm = 16 if m <= 16 else (32 if m <= 32 else 128)
+    x2 = _pad_m(x2.astype(jnp.bfloat16), bm)
+
+    out = _nvfp4_matmul_2d(
+        x2, lin.weight, lin.scale, g=g, bm=bm, bn=bn, bk2=bk2,
+        interpret=_interpret() if interpret is None else interpret,
+    )
+    return out[:m].reshape(*lead, n).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# FP8 block (128x128): w fp8 (K, N), scale f32 (K/128, N/128)
+# ---------------------------------------------------------------------------
+
+def _fp8_kernel(x_ref, w_ref, s_ref, o_ref, acc, *, bk: int, bn: int, n_k: int):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _zero():
+        acc[:] = jnp.zeros_like(acc)
+
+    w = w_ref[:].astype(jnp.float32)
+    scale = s_ref[:]  # (bk/128, bn/128) f32
+    up = jnp.repeat(jnp.repeat(scale, 128, axis=0), 128, axis=1)
+    wd = (w * up).astype(jnp.bfloat16)
+    acc[:] += jnp.dot(x_ref[:], wd, preferred_element_type=jnp.float32)
+
+    @pl.when(ki == n_k - 1)
+    def _write():
+        o_ref[:] = acc[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "interpret"))
+def _fp8_matmul_2d(x2, w8, scale, *, bm, bn, bk, interpret):
+    m, k = x2.shape
+    _, n = w8.shape
+    n_k = k // bk
+    grid = (m // bm, n // bn, n_k)
+
+    return pl.pallas_call(
+        functools.partial(_fp8_kernel, bk=bk, bn=bn, n_k=n_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, ki: (i, ki), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, ki: (ki, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 128, bn // 128), lambda i, j, ki: (ki, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, ki: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=m * k * 2 + k * n + (k // 128) * (n // 128) * 4 + m * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2, w8, scale)
+
+
+def fp8_matmul(x: jax.Array, lin: QuantLinear, interpret: Optional[bool] = None) -> jax.Array:
+    md = lin.meta_dict
+    k, n = int(md["k"]), int(md["n"])
+    if md.get("strategy") != "block":
+        raise KernelUnsupported("fp8 kernel currently covers block strategy only")
+    bk_blk, bn_blk = int(md["block_k"]), int(md["block_n"])
+    if bk_blk != 128 or bn_blk != 128 or k % 128 or n % 128:
+        raise KernelUnsupported(f"fp8 kernel needs 128x128 blocks and 128|K,N (k={k}, n={n})")
+
+    bn = 256 if n % 256 == 0 else 128
+    bk = 512 if k % 512 == 0 else (256 if k % 256 == 0 else 128)
+
+    x2, lead = _flatten_x(x, k)
+    m = x2.shape[0]
+    bm = 16 if m <= 16 else (32 if m <= 32 else 128)
+    x2 = _pad_m(x2.astype(jnp.bfloat16), bm)
+
+    out = _fp8_matmul_2d(
+        x2, lin.weight, lin.scale.astype(jnp.float32), bm=bm, bn=bn, bk=bk,
+        interpret=_interpret() if interpret is None else interpret,
+    )
+    return out[:m].reshape(*lead, n).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# W8 (int8 channel/group)
+# ---------------------------------------------------------------------------
+
+def _w8_kernel(x_ref, w_ref, s_ref, o_ref, acc, *, g: Optional[int], bk: int, n_k: int):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _zero():
+        acc[:] = jnp.zeros_like(acc)
+
+    w = w_ref[:].astype(jnp.float32)
+    if g:
+        scale = s_ref[:].astype(jnp.float32)
+        wd = (w.reshape(bk // g, g, -1) * scale[:, None, :]).reshape(bk, -1)
+    else:
+        wd = w * s_ref[:].astype(jnp.float32)  # (1, bn) broadcast
+    acc[:] += jnp.dot(x_ref[:], wd.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+
+    @pl.when(ki == n_k - 1)
+    def _write():
+        o_ref[:] = acc[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("g", "bm", "bn", "bk", "interpret"))
+def _w8_matmul_2d(x2, w8, scale, *, g, bm, bn, bk, interpret):
+    m, k = x2.shape
+    _, n = w8.shape
+    n_k = k // bk
+    grid = (m // bm, n // bn, n_k)
+    if g:
+        s_spec = pl.BlockSpec((bk // g, bn), lambda i, j, ki: (ki, j), memory_space=pltpu.VMEM)
+    else:
+        s_spec = pl.BlockSpec((1, bn), lambda i, j, ki: (0, j), memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_w8_kernel, g=g, bk=bk, n_k=n_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, ki: (i, ki), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, ki: (ki, j), memory_space=pltpu.VMEM),
+            s_spec,
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, ki: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x2, w8, scale)
+
+
+def w8_matmul(x: jax.Array, lin: QuantLinear, interpret: Optional[bool] = None) -> jax.Array:
+    md = lin.meta_dict
+    k, n = int(md["k"]), int(md["n"])
+    g = md.get("group_size")
+    if lin.zero_point is not None:
+        raise KernelUnsupported("asymmetric w8 goes through the XLA path")
+    if n % 128 or k % 256:
+        raise KernelUnsupported(f"w8 kernel needs 128|N, 256|K (k={k}, n={n})")
+    bk = 512 if k % 512 == 0 else 256
+    if g and bk % int(g):
+        raise KernelUnsupported(f"w8 kernel: group {g} must divide bk {bk}")
+    bn = 256 if n % 256 == 0 else 128
+
+    x2, lead = _flatten_x(x, k)
+    m = x2.shape[0]
+    bm = 16 if m <= 16 else (32 if m <= 32 else 128)
+    x2 = _pad_m(x2.astype(jnp.bfloat16), bm)
+
+    out = _w8_matmul_2d(
+        x2, lin.weight, lin.scale, g=None if not g else int(g), bm=bm, bn=bn, bk=bk,
+        interpret=_interpret() if interpret is None else interpret,
+    )
+    return out[:m].reshape(*lead, n).astype(x.dtype)
+
+
+KERNELS = {
+    "w4": w4_matmul,
+    "w8": w8_matmul,
+    "fp8": fp8_matmul,
+    "nvfp4": nvfp4_matmul,
+}

@@ -1,0 +1,268 @@
+"""Quantized linear layers as JAX pytrees.
+
+The device-side weight representation of the framework. A
+:class:`QuantLinear` holds the quantized payload in a TPU-friendly layout
+(contraction dim leading, packed nibbles where applicable) plus scales, and
+``apply(x)`` computes ``x @ W^T`` by dispatching either to a fused Pallas
+dequant-matmul kernel (:mod:`quantizers_tpu.ops.kernels`) or to an XLA
+reference path (always available, used on CPU/in tests).
+
+Layout conventions (HF weights are ``(out_features, in_features)`` = (N, K)):
+
+* ``w4``   — packed uint8 ``(K//2, N)``: two offset-unsigned int4 nibbles per
+  byte along K in *split-half* order — low nibble row ``p`` holds
+  ``W[p, n]``, high nibble holds ``W[K//2 + p, n]``. This layout lets the
+  Pallas kernel unpack with two shifts and **no sublane interleave** (the
+  two nibble planes are contiguous K-ranges fed by their own x/scale
+  tiles). Scales ``(K//g, N)``; optional zero points ``(K//g, N)`` int8.
+* ``w8``   — int8 ``(K, N)``; per-channel or per-group scales.
+* ``fp8``  — float8_e4m3fn ``(K, N)``; scale grid ``(ceil(K/bk), ceil(N/bn))``
+  for block strategy or ``(1, N)`` per-channel.
+* ``nvfp4``— packed uint8 ``(K//2, N)`` E2M1 codes; *effective* scales
+  (second level already folded in) bf16 ``(K//16, N)``.
+* ``dense``— bf16/f32 ``(K, N)``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.numerics import QuantizedTensor
+from ..core.scheme import QuantizationArgs, QuantStrategy, QuantType
+
+
+def _unpack_nibbles(packed: jax.Array, signed_offset: int = 8) -> jax.Array:
+    """uint8 (K//2, N) split-half packed -> int8 (K, N)."""
+    lo = (packed & 0x0F).astype(jnp.int8) - signed_offset
+    hi = ((packed >> 4) & 0x0F).astype(jnp.int8) - signed_offset
+    return jnp.concatenate([lo, hi], axis=0)
+
+
+_FP4_LUT_J = jnp.asarray([0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0, 0.0, -0.5, -1.0, -1.5, -2.0, -3.0, -4.0, -6.0], dtype=jnp.float32)
+
+
+def _unpack_fp4(packed: jax.Array) -> jax.Array:
+    """uint8 (K//2, N) of split-half-packed E2M1 codes -> float32 (K, N)."""
+    lo = (packed & 0x0F).astype(jnp.int32)
+    hi = ((packed >> 4) & 0x0F).astype(jnp.int32)
+    codes = jnp.concatenate([lo, hi], axis=0)
+    return _FP4_LUT_J[codes]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QuantLinear:
+    """A (possibly) quantized linear weight, pytree-compatible.
+
+    ``kind`` and ``meta`` are static (hashable) aux data; array fields are
+    pytree leaves so jit/pjit/shard_map trace through cleanly.
+    """
+
+    kind: str  # dense | w4 | w8 | fp8 | nvfp4
+    weight: jax.Array  # payload in the layout for `kind`
+    scale: Optional[jax.Array] = None
+    zero_point: Optional[jax.Array] = None
+    bias: Optional[jax.Array] = None
+    meta: Tuple[Tuple[str, Any], ...] = ()  # static: group_size, out/in features...
+
+    # -- pytree protocol -----------------------------------------------------
+    def tree_flatten(self):
+        leaves = (self.weight, self.scale, self.zero_point, self.bias)
+        return leaves, (self.kind, self.meta)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        kind, meta = aux
+        weight, scale, zero_point, bias = leaves
+        return cls(kind=kind, weight=weight, scale=scale, zero_point=zero_point, bias=bias, meta=meta)
+
+    # -- helpers --------------------------------------------------------------
+    @property
+    def meta_dict(self) -> Dict[str, Any]:
+        return dict(self.meta)
+
+    @property
+    def out_features(self) -> int:
+        return int(self.meta_dict["n"])
+
+    @property
+    def in_features(self) -> int:
+        return int(self.meta_dict["k"])
+
+    # -- dequantize (XLA path) -------------------------------------------------
+    def dequantize(self, dtype=jnp.bfloat16) -> jax.Array:
+        """Materialize W^T as (K, N) in ``dtype``."""
+        md = self.meta_dict
+        k, n = int(md["k"]), int(md["n"])
+        if self.kind == "dense":
+            return self.weight.astype(dtype)
+        if self.kind == "w4":
+            vals = _unpack_nibbles(self.weight).astype(jnp.float32)[:k]
+            g = int(md["group_size"])
+            vals = vals.reshape(-1, g, n)
+            if self.zero_point is not None:
+                vals = vals - self.zero_point[:, None, :].astype(jnp.float32)
+            w = vals * self.scale[:, None, :].astype(jnp.float32)
+            return w.reshape(k, n).astype(dtype)
+        if self.kind == "w8":
+            vals = self.weight.astype(jnp.float32)
+            g = md.get("group_size")
+            if g:
+                vals = vals.reshape(-1, int(g), n)
+                if self.zero_point is not None:
+                    vals = vals - self.zero_point[:, None, :].astype(jnp.float32)
+                w = vals * self.scale[:, None, :].astype(jnp.float32)
+                return w.reshape(k, n).astype(dtype)
+            return (vals * self.scale.astype(jnp.float32)).astype(dtype)
+        if self.kind == "fp8":
+            vals = self.weight.astype(jnp.float32)
+            strategy = md.get("strategy", "block")
+            if strategy == "block":
+                bk, bn = int(md["block_k"]), int(md["block_n"])
+                nbk, nbn = self.scale.shape
+                up = jnp.repeat(jnp.repeat(self.scale.astype(jnp.float32), bk, axis=0), bn, axis=1)
+                w = vals * up[:k, :n]
+            elif strategy == "group":
+                g = int(md["group_size"])
+                vals = vals.reshape(-1, g, n)
+                w = (vals * self.scale[:, None, :].astype(jnp.float32)).reshape(k, n)
+            else:  # channel / tensor
+                w = vals * self.scale.astype(jnp.float32)
+            return w.astype(dtype)
+        if self.kind == "nvfp4":
+            vals = _unpack_fp4(self.weight)[:k]
+            g = int(md.get("group_size", 16))
+            vals = vals.reshape(-1, g, n)
+            w = vals * self.scale[:, None, :].astype(jnp.float32)
+            return w.reshape(k, n).astype(dtype)
+        raise ValueError(f"unknown QuantLinear kind {self.kind}")
+
+    # -- matmul ----------------------------------------------------------------
+    def apply(self, x: jax.Array, use_kernel: Optional[bool] = None) -> jax.Array:
+        """Compute ``x @ W^T (+ bias)``; x shape (..., K) -> (..., N)."""
+        from .dispatch import quant_matmul
+
+        y = quant_matmul(x, self, use_kernel=use_kernel)
+        if self.bias is not None:
+            y = y + self.bias.astype(y.dtype)
+        return y
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return self.apply(x)
+
+
+# ---------------------------------------------------------------------------
+# constructors
+# ---------------------------------------------------------------------------
+
+def _pack_nibbles_np(vals: np.ndarray, offset: int = 8) -> np.ndarray:
+    """int values (K, N) -> uint8 (K//2, N), split-half order: low nibble
+    row p = vals[p], high nibble = vals[K//2 + p]."""
+    u = (vals.astype(np.int16) + offset).astype(np.uint8)
+    if u.shape[0] % 2:
+        u = np.pad(u, ((0, 1), (0, 0)))
+    half = u.shape[0] // 2
+    lo = u[:half]
+    hi = u[half:]
+    return (lo | (hi << 4)).astype(np.uint8)
+
+
+def dense_linear(weight_nk: Any, bias: Optional[Any] = None, dtype=jnp.bfloat16) -> QuantLinear:
+    """From an HF (N, K) weight -> dense layout (K, N)."""
+    w = jnp.asarray(np.asarray(weight_nk), dtype=dtype).T
+    k, n = w.shape
+    return QuantLinear(
+        kind="dense",
+        weight=w,
+        bias=None if bias is None else jnp.asarray(np.asarray(bias), dtype=dtype),
+        meta=(("k", k), ("n", n)),
+    )
+
+
+def from_quantized(
+    qt: QuantizedTensor,
+    args: QuantizationArgs,
+    bias: Optional[Any] = None,
+    scale_dtype=jnp.bfloat16,
+) -> QuantLinear:
+    """Build the device layout from a host :class:`QuantizedTensor`
+    (values in the HF (N, K) orientation, as produced by core.quantize or
+    loaded by formats.CompressedModelReader)."""
+    n, k = qt.shape
+    values = np.asarray(qt.values)
+    scale = np.asarray(qt.scale, dtype=np.float32)
+    bias_j = None if bias is None else jnp.asarray(np.asarray(bias), dtype=jnp.bfloat16)
+
+    if args.type == QuantType.INT and args.num_bits == 4:
+        packed = _pack_nibbles_np(values.T)  # (K//2, N)
+        scale_t = scale.T  # (K/g, N)
+        zp = None
+        if qt.zero_point is not None:
+            zp = jnp.asarray(np.asarray(qt.zero_point).T.astype(np.int8))
+        return QuantLinear(
+            kind="w4",
+            weight=jnp.asarray(packed),
+            scale=jnp.asarray(scale_t, dtype=scale_dtype),
+            zero_point=zp,
+            bias=bias_j,
+            meta=(("k", k), ("n", n), ("group_size", int(args.group_size or k))),
+        )
+
+    if args.type == QuantType.INT and args.num_bits == 8:
+        w8 = jnp.asarray(values.T.astype(np.int8))  # (K, N)
+        meta: Tuple[Tuple[str, Any], ...]
+        if args.strategy == QuantStrategy.GROUP:
+            meta = (("k", k), ("n", n), ("group_size", int(args.group_size)))
+            scale_t = scale.T
+        else:  # channel: scale (N, 1) -> (1, N)
+            meta = (("k", k), ("n", n), ("group_size", None))
+            scale_t = scale.reshape(n, -1).T
+        zp = None
+        if qt.zero_point is not None:
+            zp_np = np.asarray(qt.zero_point)
+            zp = jnp.asarray((zp_np.T if zp_np.ndim == 2 else zp_np.reshape(n, -1).T).astype(np.int8))
+        return QuantLinear(kind="w8", weight=w8, scale=jnp.asarray(scale_t, dtype=scale_dtype), zero_point=zp, bias=bias_j, meta=meta)
+
+    if args.type == QuantType.FLOAT and args.num_bits == 8:
+        w8 = jnp.asarray(values.T.astype(np.float32), dtype=jnp.float8_e4m3fn)  # (K, N)
+        if args.strategy == QuantStrategy.BLOCK:
+            br, bc = tuple(args.block_structure)
+            # host scale grid is (ceil(N/br), ceil(K/bc)) over (N, K); transpose
+            scale_t = scale.T  # (K-blocks, N-blocks)
+            meta = (("k", k), ("n", n), ("strategy", "block"), ("block_k", bc), ("block_n", br))
+        elif args.strategy == QuantStrategy.GROUP:
+            scale_t = scale.T
+            meta = (("k", k), ("n", n), ("strategy", "group"), ("group_size", int(args.group_size)))
+        elif args.strategy == QuantStrategy.CHANNEL:
+            scale_t = scale.reshape(n, -1).T
+            meta = (("k", k), ("n", n), ("strategy", "channel"))
+        else:
+            scale_t = scale.reshape(1, 1)
+            meta = (("k", k), ("n", n), ("strategy", "tensor"))
+        return QuantLinear(kind="fp8", weight=w8, scale=jnp.asarray(scale_t, dtype=jnp.float32), bias=bias_j, meta=meta)
+
+    if args.type == QuantType.FLOAT and args.num_bits == 4:
+        # NVFP4: fold global scale into per-group effective scales.
+        from ..formats.compressed_tensors import fp4_encode
+
+        codes = fp4_encode(values.T)  # (K, N) codes
+        if codes.shape[0] % 2:
+            codes = np.pad(codes, ((0, 1), (0, 0)))
+        half = codes.shape[0] // 2
+        packed = (codes[:half] | (codes[half:] << 4)).astype(np.uint8)
+        g = float(np.asarray(qt.global_scale)) if qt.global_scale is not None else 1.0
+        eff = (scale / g).T  # (K/16, N)
+        return QuantLinear(
+            kind="nvfp4",
+            weight=jnp.asarray(packed),
+            scale=jnp.asarray(eff, dtype=scale_dtype),
+            bias=bias_j,
+            meta=(("k", k), ("n", n), ("group_size", int(args.group_size or 16))),
+        )
+
+    raise ValueError(f"no device layout for args {args}")

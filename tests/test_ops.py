@@ -1,0 +1,161 @@
+"""ops-layer tests: QuantLinear layouts, XLA reference path, and Pallas
+kernels in interpret mode vs the XLA oracle."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from quantizers_tpu.core import (
+    PRESET_SCHEMES,
+    QuantizationArgs,
+    QuantStrategy,
+    QuantType,
+    dequantize,
+    quantize,
+)
+from quantizers_tpu.ops import QuantLinear, dense_linear, from_quantized
+from quantizers_tpu.ops.dispatch import xla_quant_matmul
+from quantizers_tpu.ops import kernels as K
+
+
+def rand(shape, seed=0, scale=1.0):
+    return jnp.asarray(np.random.default_rng(seed).normal(size=shape).astype(np.float32) * scale)
+
+
+W4_ARGS = QuantizationArgs(num_bits=4, type=QuantType.INT, strategy=QuantStrategy.GROUP, group_size=32)
+
+
+class TestLayouts:
+    def test_dense(self):
+        w = rand((64, 32), seed=0)  # (N, K)
+        lin = dense_linear(w)
+        x = rand((4, 32), seed=1)
+        y = xla_quant_matmul(x, lin)
+        expected = x @ w.T
+        assert np.allclose(np.asarray(y), np.asarray(expected), atol=0.15)
+
+    def test_w4_layout_matches_host_dequant(self):
+        w = rand((128, 256), seed=2)
+        qt = quantize(w, W4_ARGS)
+        host_deq = np.asarray(dequantize(qt, W4_ARGS))  # (N, K)
+        lin = from_quantized(qt, W4_ARGS)
+        dev_deq = np.asarray(lin.dequantize(dtype=jnp.float32))  # (K, N)
+        assert np.allclose(dev_deq.T, host_deq, atol=1e-2, rtol=1e-2)
+
+    def test_w4_matmul_matches_fakequant(self):
+        w = rand((128, 256), seed=3)
+        qt = quantize(w, W4_ARGS)
+        lin = from_quantized(qt, W4_ARGS)
+        x = rand((8, 256), seed=4)
+        y = np.asarray(lin.apply(x, use_kernel=False))
+        expected = np.asarray(x @ dequantize(qt, W4_ARGS).T)
+        assert np.allclose(y, expected, atol=0.5, rtol=0.05)
+
+    def test_fp8_block_layout(self):
+        args = PRESET_SCHEMES["FP8_BLOCK"].weights
+        w = rand((256, 256), seed=5)
+        qt = quantize(w, args)
+        lin = from_quantized(qt, args)
+        dev = np.asarray(lin.dequantize(dtype=jnp.float32)).T
+        host = np.asarray(dequantize(qt, args))
+        assert np.allclose(dev, host, atol=1e-3)
+
+    def test_nvfp4_layout(self):
+        args = PRESET_SCHEMES["NVFP4"].weights
+        w = rand((128, 128), seed=6)
+        qt = quantize(w, args)
+        lin = from_quantized(qt, args)
+        dev = np.asarray(lin.dequantize(dtype=jnp.float32)).T
+        host = np.asarray(dequantize(qt, args))
+        assert np.allclose(dev, host, atol=2e-2, rtol=2e-2)
+
+    def test_w8_channel_layout(self):
+        args = QuantizationArgs(num_bits=8, type=QuantType.INT, strategy=QuantStrategy.CHANNEL)
+        w = rand((64, 128), seed=7)
+        qt = quantize(w, args)
+        lin = from_quantized(qt, args)
+        dev = np.asarray(lin.dequantize(dtype=jnp.float32)).T
+        host = np.asarray(dequantize(qt, args))
+        assert np.allclose(dev, host, atol=1e-3, rtol=1e-2)
+
+    def test_pytree_roundtrip(self):
+        import jax
+
+        w = rand((64, 64), seed=8)
+        qt = quantize(w, W4_ARGS)
+        lin = from_quantized(qt, W4_ARGS)
+        leaves, treedef = jax.tree_util.tree_flatten(lin)
+        lin2 = jax.tree_util.tree_unflatten(treedef, leaves)
+        assert lin2.kind == "w4" and lin2.meta == lin.meta
+
+    def test_bias(self):
+        w = rand((32, 64), seed=9)
+        b = rand((32,), seed=10)
+        lin = dense_linear(w, bias=b)
+        x = rand((2, 64), seed=11)
+        y = np.asarray(lin.apply(x, use_kernel=False))
+        expected = np.asarray(x @ w.T + b)
+        assert np.allclose(y, expected, atol=0.3)
+
+
+class TestPallasInterpret:
+    """Kernels vs the XLA oracle, interpret mode (CPU CI)."""
+
+    def _check(self, lin, k, atol=0.35):
+        x = rand((4, k), seed=20, scale=0.5)
+        ref = np.asarray(xla_quant_matmul(x, lin), dtype=np.float32)
+        got = np.asarray(K.KERNELS[lin.kind](x, lin, interpret=True), dtype=np.float32)
+        assert got.shape == ref.shape
+        err = np.abs(got - ref).max()
+        assert err <= atol, f"kernel {lin.kind} mismatch: {err}"
+
+    def test_w4_kernel(self):
+        w = rand((256, 512), seed=21)
+        qt = quantize(w, W4_ARGS)
+        self._check(from_quantized(qt, W4_ARGS), 512)
+
+    def test_w4_kernel_3d_input(self):
+        w = rand((128, 256), seed=22)
+        qt = quantize(w, W4_ARGS)
+        lin = from_quantized(qt, W4_ARGS)
+        x = rand((2, 3, 256), seed=23)
+        ref = np.asarray(xla_quant_matmul(x, lin), dtype=np.float32)
+        got = np.asarray(K.w4_matmul(x, lin, interpret=True), dtype=np.float32)
+        assert got.shape == (2, 3, 128)
+        assert np.abs(got - ref).max() < 0.35
+
+    def test_fp8_kernel(self):
+        args = PRESET_SCHEMES["FP8_BLOCK"].weights
+        w = rand((256, 256), seed=24)
+        qt = quantize(w, args)
+        self._check(from_quantized(qt, args), 256)
+
+    def test_nvfp4_kernel(self):
+        args = PRESET_SCHEMES["NVFP4"].weights
+        w = rand((128, 256), seed=25)
+        qt = quantize(w, args)
+        self._check(from_quantized(qt, args), 256)
+
+    def test_w8_channel_kernel(self):
+        args = QuantizationArgs(num_bits=8, type=QuantType.INT, strategy=QuantStrategy.CHANNEL)
+        w = rand((128, 256), seed=26)
+        qt = quantize(w, args)
+        self._check(from_quantized(qt, args), 256)
+
+    def test_unsupported_shapes_raise(self):
+        w = rand((100, 96), seed=27)  # N not mult of 128
+        args = QuantizationArgs(num_bits=4, type=QuantType.INT, strategy=QuantStrategy.GROUP, group_size=32)
+        qt = quantize(w, args)
+        lin = from_quantized(qt, args)
+        with pytest.raises(K.KernelUnsupported):
+            K.w4_matmul(rand((2, 96), seed=28), lin, interpret=True)
+
+    def test_dispatch_falls_back(self):
+        """dispatch must not crash on unsupported kernel shapes."""
+        w = rand((100, 96), seed=29)
+        qt = quantize(w, W4_ARGS)
+        lin = from_quantized(qt, W4_ARGS)
+        x = rand((2, 96), seed=30)
+        y = lin.apply(x)  # CPU -> XLA path regardless
+        assert y.shape == (2, 100)
