@@ -9,7 +9,14 @@ import os
 import sys
 
 # Must happen before the first `import jax` anywhere in the test session.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu: the dev box runs a sitecustomize that registers a tunneled
+# remote TPU PJRT plugin ("axon") and rewrites JAX_PLATFORMS=axon inside
+# every process — per-op RPC latency makes unit tests hang. Overriding the
+# env var is not enough; jax.config.update (below, pre-backend-init) wins.
+# Set QTPU_TEST_ON_TPU=1 to run the suite against real hardware.
+_FORCE_CPU = not os.environ.get("QTPU_TEST_ON_TPU")
+if _FORCE_CPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -25,3 +32,8 @@ _cache_dir = os.environ.setdefault(
 )
 os.makedirs(_cache_dir, exist_ok=True)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+if _FORCE_CPU:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,151 @@
+"""Mixture-of-Experts block (qwen3_moe-style top-k routing).
+
+TPU-native design notes:
+
+* Expert weights are **stacked** into leading-``E`` arrays
+  (:class:`ExpertLinears`) rather than kept as E separate modules — one
+  pytree, sharding-friendly along the expert axis (expert parallelism =
+  ``PartitionSpec("expert", ...)`` on these leaves).
+* The forward pass runs a ``lax.scan`` over experts: every expert processes
+  every token and outputs are combined with the (dense, zero-for-unrouted)
+  top-k routing weights. This is the classic dense-MoE TPU formulation —
+  static shapes, no ragged gather — and it makes *all-expert calibration*
+  (reference ``scripts/do_oneshot.py:186`` ``moe_calibrate_all_experts=True``,
+  rationale ``docs/quantization_tips_and_tricks.md:79-98``) the natural mode:
+  observers see every expert's activations on every batch.
+* Routing math (softmax → top-k → optional renorm) matches qwen3_moe /
+  the models the reference quantizes (`configs/test-quantize_qwen3_30b_a3b_nvfp4.yaml`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.linear import QuantLinear
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class ExpertLinears:
+    """E stacked :class:`QuantLinear` s sharing kind/meta.
+
+    Leaves have a leading expert axis; ``kind``/``meta`` describe the
+    per-expert 2-D layout (so a sliced expert is a valid QuantLinear).
+    """
+
+    kind: str
+    weight: jax.Array  # (E, ...)
+    scale: Optional[jax.Array] = None
+    zero_point: Optional[jax.Array] = None
+    bias: Optional[jax.Array] = None
+    meta: Tuple[Tuple[str, Any], ...] = ()
+
+    def tree_flatten(self):
+        return (self.weight, self.scale, self.zero_point, self.bias), (self.kind, self.meta)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        kind, meta = aux
+        w, s, z, b = leaves
+        return cls(kind=kind, weight=w, scale=s, zero_point=z, bias=b, meta=meta)
+
+    @property
+    def num_experts(self) -> int:
+        return int(self.weight.shape[0])
+
+    @classmethod
+    def stack(cls, lins: List[QuantLinear]) -> "ExpertLinears":
+        if not lins:
+            raise ValueError("need at least one expert")
+        kind, meta = lins[0].kind, lins[0].meta
+        for l in lins[1:]:
+            if l.kind != kind or l.meta != meta:
+                raise ValueError("experts must share kind and layout meta")
+
+        def _stack(field: str) -> Optional[jax.Array]:
+            vals = [getattr(l, field) for l in lins]
+            if vals[0] is None:
+                return None
+            return jnp.stack(vals, axis=0)
+
+        return cls(kind=kind, weight=_stack("weight"), scale=_stack("scale"),
+                   zero_point=_stack("zero_point"), bias=_stack("bias"), meta=meta)
+
+    def expert(self, e: int) -> QuantLinear:
+        """Static-index single expert (host-side use)."""
+        sl = lambda a: None if a is None else a[e]
+        return QuantLinear(kind=self.kind, weight=sl(self.weight), scale=sl(self.scale),
+                           zero_point=sl(self.zero_point), bias=sl(self.bias), meta=self.meta)
+
+    # scan plumbing: leaves as xs, rebuild per-step QuantLinear.
+    def _xs(self):
+        return (self.weight, self.scale, self.zero_point, self.bias)
+
+    def _from_sliced(self, sliced) -> QuantLinear:
+        w, s, z, b = sliced
+        return QuantLinear(kind=self.kind, weight=w, scale=s, zero_point=z,
+                           bias=b, meta=self.meta)
+
+
+def route_topk(router_logits: jax.Array, top_k: int, norm_topk_prob: bool
+               ) -> jax.Array:
+    """(N, E) logits -> dense (N, E) combine weights, zero off the top-k."""
+    probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
+    topv, topi = jax.lax.top_k(probs, top_k)
+    if norm_topk_prob:
+        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    E = router_logits.shape[-1]
+    onehot = jax.nn.one_hot(topi, E, dtype=jnp.float32)  # (N, k, E)
+    return jnp.einsum("nk,nke->ne", topv, onehot)
+
+
+def moe_forward(moe: Dict[str, Any], spec, x: jax.Array,
+                all_experts: bool = False,
+                capture: Optional[Dict[str, jax.Array]] = None) -> jax.Array:
+    """x (B, T, D) -> (B, T, D).
+
+    Dense formulation: the scan runs every expert over every token (so
+    ``all_experts`` calibration needs no special routing change — the flag
+    is accepted for API parity and only affects capture bookkeeping);
+    unrouted contributions are zeroed by the combine weights.
+    """
+    B, T, D = x.shape
+    N = B * T
+    h2 = x.reshape(N, D)
+
+    router: QuantLinear = moe["router"]
+    logits = router.apply(h2.astype(jnp.float32))  # router kept high-precision
+    weights = route_topk(logits, spec.num_experts_per_tok, spec.norm_topk_prob)
+    weights = weights.astype(jnp.float32)  # (N, E)
+
+    gate: ExpertLinears = moe["gate_proj"]
+    up: ExpertLinears = moe["up_proj"]
+    down: ExpertLinears = moe["down_proj"]
+    want_capture = capture is not None
+
+    def body(y, xs_e):
+        g_xs, u_xs, d_xs, w_col = xs_e
+        g = gate._from_sliced(g_xs)
+        u = up._from_sliced(u_xs)
+        d = down._from_sliced(d_xs)
+        a = jax.nn.silu(g.apply(h2).astype(jnp.float32)).astype(h2.dtype) * u.apply(h2)
+        out = d.apply(a)  # (N, D)
+        y = y + (w_col[:, None] * out.astype(jnp.float32))
+        ys = a if want_capture else None
+        return y, ys
+
+    xs = (gate._xs(), up._xs(), down._xs(), weights.T)  # weights.T: (E, N)
+    y0 = jnp.zeros((N, D), jnp.float32)
+    y, down_inputs = jax.lax.scan(body, y0, xs)
+
+    if want_capture:
+        capture["router"] = h2
+        capture["moe_gate_proj"] = h2
+        capture["moe_up_proj"] = h2
+        capture["moe_down_proj"] = down_inputs  # (E, N, Fe)
+        capture["moe_weights"] = weights
+    return y.astype(x.dtype).reshape(B, T, D)

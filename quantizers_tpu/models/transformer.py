@@ -1,0 +1,316 @@
+"""Pure-JAX decoder-only transformer over QuantLinear weights.
+
+TPU-native replacement for the torch model graph the reference calibrates
+through llmcompressor (``scripts/do_oneshot.py:177-187``). Design:
+
+* params are a plain pytree: ``{"embed", "layers": [per-layer dict...],
+  "final_norm", "lm_head"}``; every projection is a
+  :class:`~quantizers_tpu.ops.linear.QuantLinear` so one model definition
+  serves bf16, W4A16, FP8, NVFP4 and mixed-precision checkpoints alike.
+* the forward pass is layer-composable: :func:`apply_layer` is a standalone
+  function so the oneshot engine can stream layers host→HBM one at a time
+  (the TPU analog of the reference's accelerate CPU-offload device maps,
+  ``scripts/old_scripts/main_devstral-gptq.py:57-113``).
+* MoE layers support *all-expert calibration* — every expert sees every
+  token — mirroring ``oneshot(..., moe_calibrate_all_experts=True)``
+  (reference ``scripts/do_oneshot.py:186``).
+* static shapes + ``lax``-friendly control flow throughout; attention is
+  computed blockless here (calibration seq ≤ 8k fits VMEM-tiled XLA fusions)
+  with f32 softmax.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.linear import QuantLinear, dense_linear
+from .config import ModelSpec
+from .moe import ExpertLinears, moe_forward
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(dt) * weight.astype(dt)
+
+
+def rotary_cos_sin(positions: jax.Array, head_dim: int, theta: float) -> Tuple[jax.Array, jax.Array]:
+    """positions (..., T) int32 -> cos/sin (..., T, head_dim/2) f32."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    ang = positions.astype(jnp.float32)[..., None] * inv_freq
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x (B, T, H, hd); HF rotate-half convention."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    cos = cos[:, :, None, :].astype(x.dtype)
+    sin = sin[:, :, None, :].astype(x.dtype)
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+
+
+class KVCache(NamedTuple):
+    """Per-layer KV cache, (B, S_max, n_kv, head_dim); plus fill length.
+
+    ``k_scale``/``v_scale`` support the FP8 KV-cache scheme
+    (reference ``main_seed-oss-fp8-kv8.py:168-202``): when set, k/v are
+    stored as float8_e4m3fn and dequantized on read.
+    """
+
+    k: jax.Array
+    v: jax.Array
+    length: jax.Array  # () int32
+    k_scale: Optional[jax.Array] = None
+    v_scale: Optional[jax.Array] = None
+
+    @classmethod
+    def init(cls, spec: ModelSpec, batch: int, max_len: int,
+             dtype=jnp.bfloat16, fp8: bool = False,
+             k_scale: float = 1.0, v_scale: float = 1.0) -> List["KVCache"]:
+        shape = (batch, max_len, spec.num_kv_heads, spec.head_dim)
+        caches = []
+        for _ in range(spec.num_layers):
+            if fp8:
+                caches.append(cls(
+                    k=jnp.zeros(shape, jnp.float8_e4m3fn),
+                    v=jnp.zeros(shape, jnp.float8_e4m3fn),
+                    length=jnp.zeros((), jnp.int32),
+                    k_scale=jnp.asarray(k_scale, jnp.float32),
+                    v_scale=jnp.asarray(v_scale, jnp.float32),
+                ))
+            else:
+                caches.append(cls(
+                    k=jnp.zeros(shape, dtype),
+                    v=jnp.zeros(shape, dtype),
+                    length=jnp.zeros((), jnp.int32),
+                ))
+        return caches
+
+
+def _store(cache_arr: jax.Array, new: jax.Array, offset: jax.Array,
+           scale: Optional[jax.Array]) -> jax.Array:
+    if scale is not None:
+        new = (new.astype(jnp.float32) / scale).astype(cache_arr.dtype)
+    else:
+        new = new.astype(cache_arr.dtype)
+    return jax.lax.dynamic_update_slice(cache_arr, new, (0, offset, 0, 0))
+
+
+def _read(cache_arr: jax.Array, scale: Optional[jax.Array], dtype) -> jax.Array:
+    x = cache_arr.astype(jnp.float32)
+    if scale is not None:
+        x = x * scale
+    return x.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# attention + mlp blocks
+# ---------------------------------------------------------------------------
+
+def attention(layer: Dict[str, Any], spec: ModelSpec, x: jax.Array,
+              positions: jax.Array, cache: Optional[KVCache],
+              capture: Optional[Dict[str, jax.Array]] = None
+              ) -> Tuple[jax.Array, Optional[KVCache]]:
+    """x (B, T, D) post-layernorm -> (attn_out (B, T, D), new_cache)."""
+    B, T, _ = x.shape
+    H, KV, hd = spec.num_heads, spec.num_kv_heads, spec.head_dim
+
+    q = layer["q_proj"].apply(x).reshape(B, T, H, hd)
+    k = layer["k_proj"].apply(x).reshape(B, T, KV, hd)
+    v = layer["v_proj"].apply(x).reshape(B, T, KV, hd)
+
+    if spec.qk_norm:
+        q = rms_norm(q, layer["q_norm"], spec.rms_norm_eps)
+        k = rms_norm(k, layer["k_norm"], spec.rms_norm_eps)
+
+    cos, sin = rotary_cos_sin(positions, hd, spec.rope_theta)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if cache is not None:
+        off = cache.length
+        k_all = _store(cache.k, k, off, cache.k_scale)
+        v_all = _store(cache.v, v, off, cache.v_scale)
+        new_cache = cache._replace(k=k_all, v=v_all, length=off + T)
+        k_att = _read(k_all, cache.k_scale, x.dtype)
+        v_att = _read(v_all, cache.v_scale, x.dtype)
+        S = k_att.shape[1]
+        kv_pos = jnp.arange(S)[None, :]  # (1, S)
+        q_pos = positions  # (B, T)
+        mask = kv_pos[None, :, :] <= q_pos[:, :, None]  # (B, T, S)
+    else:
+        new_cache = None
+        k_att, v_att = k, v
+        S = T
+        idx = jnp.arange(T)
+        mask = (idx[None, :, None] >= idx[None, None, :])  # (1, T, S) causal
+
+    # GQA: repeat kv heads.
+    rep = H // KV
+    k_att = jnp.repeat(k_att, rep, axis=2)
+    v_att = jnp.repeat(v_att, rep, axis=2)
+
+    scores = jnp.einsum("bthd,bshd->bhts", q, k_att,
+                        preferred_element_type=jnp.float32)
+    scores = scores * (1.0 / np.sqrt(hd))
+    scores = jnp.where(mask[:, None, :, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bhts,bshd->bthd", probs, v_att)
+    ctx = ctx.reshape(B, T, H * hd)
+
+    if capture is not None:
+        capture["o_proj"] = ctx
+    out = layer["o_proj"].apply(ctx)
+    return out, new_cache
+
+
+def dense_mlp(mlp: Dict[str, QuantLinear], x: jax.Array,
+              capture: Optional[Dict[str, jax.Array]] = None) -> jax.Array:
+    g = mlp["gate_proj"].apply(x)
+    u = mlp["up_proj"].apply(x)
+    h = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u
+    if capture is not None:
+        capture["down_proj"] = h
+    return mlp["down_proj"].apply(h)
+
+
+# ---------------------------------------------------------------------------
+# layer / model forward
+# ---------------------------------------------------------------------------
+
+def apply_layer(layer: Dict[str, Any], spec: ModelSpec, layer_idx: int,
+                x: jax.Array, positions: jax.Array,
+                cache: Optional[KVCache] = None,
+                moe_all_experts: bool = False,
+                capture: Optional[Dict[str, jax.Array]] = None,
+                ) -> Tuple[jax.Array, Optional[KVCache]]:
+    """One decoder block. ``capture``, when a dict, is filled with the
+    inputs of each linear (keyed by projection name) — the activation feed
+    for AWQ/GPTQ observers."""
+    h = rms_norm(x, layer["input_layernorm"], spec.rms_norm_eps)
+    if capture is not None:
+        capture["q_proj"] = h
+        capture["k_proj"] = h
+        capture["v_proj"] = h
+    attn_out, new_cache = attention(layer, spec, h, positions, cache, capture)
+    x = x + attn_out
+
+    h = rms_norm(x, layer["post_attention_layernorm"], spec.rms_norm_eps)
+    if spec.layer_is_moe(layer_idx):
+        if capture is not None:
+            capture["moe_in"] = h
+        mlp_out = moe_forward(layer["moe"], spec, h, all_experts=moe_all_experts,
+                              capture=capture)
+    else:
+        if capture is not None:
+            capture["gate_proj"] = h
+            capture["up_proj"] = h
+        mlp_out = dense_mlp(layer["mlp"], h, capture)
+    return x + mlp_out, new_cache
+
+
+def embed(params: Dict[str, Any], input_ids: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    return params["embed"].astype(dtype)[input_ids]
+
+
+def logits_head(params: Dict[str, Any], spec: ModelSpec, x: jax.Array) -> jax.Array:
+    x = rms_norm(x, params["final_norm"], spec.rms_norm_eps)
+    if params.get("lm_head") is not None:
+        return params["lm_head"].apply(x)
+    # tied embeddings
+    return jnp.einsum("btd,vd->btv", x, params["embed"].astype(x.dtype),
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def forward(params: Dict[str, Any], spec: ModelSpec, input_ids: jax.Array,
+            caches: Optional[List[KVCache]] = None,
+            positions: Optional[jax.Array] = None,
+            moe_all_experts: bool = False,
+            ) -> Tuple[jax.Array, Optional[List[KVCache]]]:
+    """Full forward: (B, T) ids -> (B, T, vocab) logits (+ updated caches)."""
+    B, T = input_ids.shape
+    if positions is None:
+        if caches is not None:
+            positions = caches[0].length + jnp.arange(T)[None, :]
+            positions = jnp.broadcast_to(positions, (B, T))
+        else:
+            positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
+    x = embed(params, input_ids)
+    new_caches: Optional[List[KVCache]] = [] if caches is not None else None
+    for i, layer in enumerate(params["layers"]):
+        c = caches[i] if caches is not None else None
+        x, nc = apply_layer(layer, spec, i, x, positions, c, moe_all_experts)
+        if new_caches is not None:
+            new_caches.append(nc)
+    logits = logits_head(params, spec, x)
+    return logits, new_caches
+
+
+# ---------------------------------------------------------------------------
+# initialization (random weights — tests, dry runs, perf benches)
+# ---------------------------------------------------------------------------
+
+def _rand_linear(key: jax.Array, n: int, k: int, dtype=jnp.bfloat16,
+                 bias: bool = False, scale: float = 0.02) -> QuantLinear:
+    w = jax.random.normal(key, (n, k), jnp.float32) * scale
+    b = np.zeros((n,), np.float32) if bias else None
+    return dense_linear(np.asarray(w), bias=b, dtype=dtype)
+
+
+def init_params(spec: ModelSpec, key: Optional[jax.Array] = None,
+                dtype=jnp.bfloat16) -> Dict[str, Any]:
+    key = key if key is not None else jax.random.PRNGKey(0)
+    n_keys = 4 + spec.num_layers * 16
+    ks = iter(jax.random.split(key, n_keys))
+    D, Ff = spec.hidden_size, spec.intermediate_size
+    layers: List[Dict[str, Any]] = []
+    for i in range(spec.num_layers):
+        layer: Dict[str, Any] = {
+            "input_layernorm": jnp.ones((D,), dtype),
+            "post_attention_layernorm": jnp.ones((D,), dtype),
+            "q_proj": _rand_linear(next(ks), spec.q_dim, D, dtype, spec.attention_bias),
+            "k_proj": _rand_linear(next(ks), spec.kv_dim, D, dtype, spec.attention_bias),
+            "v_proj": _rand_linear(next(ks), spec.kv_dim, D, dtype, spec.attention_bias),
+            "o_proj": _rand_linear(next(ks), D, spec.q_dim, dtype),
+        }
+        if spec.qk_norm:
+            layer["q_norm"] = jnp.ones((spec.head_dim,), dtype)
+            layer["k_norm"] = jnp.ones((spec.head_dim,), dtype)
+        if spec.layer_is_moe(i):
+            E, Fe = spec.num_experts, spec.moe_intermediate_size
+            router = _rand_linear(next(ks), E, D, jnp.float32)
+            gate = ExpertLinears.stack(
+                [_rand_linear(next(ks), Fe, D, dtype) for _ in range(E)])
+            up = ExpertLinears.stack(
+                [_rand_linear(next(ks), Fe, D, dtype) for _ in range(E)])
+            down = ExpertLinears.stack(
+                [_rand_linear(next(ks), D, Fe, dtype) for _ in range(E)])
+            layer["moe"] = {"router": router, "gate_proj": gate, "up_proj": up,
+                            "down_proj": down}
+        else:
+            layer["mlp"] = {
+                "gate_proj": _rand_linear(next(ks), Ff, D, dtype, spec.mlp_bias),
+                "up_proj": _rand_linear(next(ks), Ff, D, dtype, spec.mlp_bias),
+                "down_proj": _rand_linear(next(ks), D, Ff, dtype, spec.mlp_bias),
+            }
+        layers.append(layer)
+
+    params: Dict[str, Any] = {
+        "embed": jax.random.normal(next(ks), (spec.vocab_size, D), jnp.float32).astype(dtype) * 0.02,
+        "layers": layers,
+        "final_norm": jnp.ones((D,), dtype),
+        "lm_head": None if spec.tie_word_embeddings else _rand_linear(next(ks), spec.vocab_size, D, dtype),
+    }
+    return params

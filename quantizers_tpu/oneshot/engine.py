@@ -1,0 +1,241 @@
+"""Layer-sequential oneshot driver.
+
+The TPU analog of llmcompressor's sequential pipeline (reference boundary at
+``scripts/do_oneshot.py:177-187``): calibration batches are embedded once,
+then each decoder layer is (1) run with capture to feed the modifiers'
+observers, (2) compressed, (3) re-run with quantized weights so downstream
+layers calibrate against the *quantized* upstream — exactly the
+error-propagation property GPTQ/AWQ rely on. Pipelines:
+
+* ``sequential`` — one pass; all modifiers applied per layer in recipe order.
+* ``independent`` — each modifier gets its own full sequential pass
+  (reference ``quantization_multiple_modifiers.py:102-109`` ``--independent``).
+* ``basic`` — no error propagation: capture on the original model only.
+
+Memory model: hidden states live on device as one (S, T, D) block per
+calibration set; modifier statistics (Hessians, channel means) are the
+modifiers' concern. Layers are processed one at a time, so peak HBM is
+one layer's weights + hiddens — the TPU analog of the reference's
+accelerate CPU-offload maps (``main_devstral-gptq.py:57-113``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.scheme import QuantizationArgs, QuantScheme
+from ..formats.checkpoint import CompressedParam
+from ..models.config import ModelSpec
+from ..models.transformer import apply_layer, embed
+from ..recipes import ModifierSpec, Recipe
+from .modifiers import LayerCtx, Modifier, RTNModifier, SiteResult
+from .sites import LinearSite, layer_sites, scheme_for_site
+
+logger = logging.getLogger(__name__)
+
+
+def _build_modifier(spec: ModifierSpec) -> Modifier:
+    from .awq import AWQModifier
+    from .gptq import GPTQModifier
+    from .autoround import AutoRoundModifier
+
+    table = {
+        "QuantizationModifier": RTNModifier,
+        "AWQModifier": AWQModifier,
+        "GPTQModifier": GPTQModifier,
+        "AutoRoundModifier": AutoRoundModifier,
+    }
+    cls = table.get(spec.name)
+    if cls is None:
+        raise ValueError(f"Unsupported modifier {spec.name!r}; known: {sorted(table)}")
+    return cls(spec)
+
+
+@dataclasses.dataclass
+class OneshotResult:
+    params: Dict[str, Any]
+    records: Dict[str, CompressedParam]
+    extra_tensors: Dict[str, np.ndarray]
+    config_groups: Dict[str, QuantScheme]
+    ignore: List[str]
+    kv_cache_scheme: Optional[QuantizationArgs]
+    stats: Dict[str, float]
+
+
+def make_batches(tokenized: Iterable[Any], max_seq_length: int,
+                 batch_size: int = 4, pad_to_multiple: int = 128,
+                 pad_id: int = 0) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Pack tokenized samples (dicts with ``input_ids`` or raw id lists)
+    into fixed-shape (ids, mask) batches. Sequences are right-padded to the
+    batch max rounded up to ``pad_to_multiple`` (static shapes for XLA;
+    bucketing keeps recompiles to a handful)."""
+    rows: List[List[int]] = []
+    for s in tokenized:
+        ids = s["input_ids"] if isinstance(s, dict) else s
+        ids = list(ids)[:max_seq_length]
+        if ids:
+            rows.append(ids)
+    rows.sort(key=len)  # length-bucketing minimizes padding waste
+    batches: List[Tuple[np.ndarray, np.ndarray]] = []
+    for i in range(0, len(rows), batch_size):
+        chunk = rows[i : i + batch_size]
+        longest = max(len(r) for r in chunk)
+        T = min(max_seq_length,
+                -(-longest // pad_to_multiple) * pad_to_multiple)
+        T = max(T, pad_to_multiple)
+        ids = np.full((len(chunk), T), pad_id, dtype=np.int32)
+        mask = np.zeros((len(chunk), T), dtype=np.float32)
+        for j, r in enumerate(chunk):
+            r = r[:T]
+            ids[j, : len(r)] = r
+            mask[j, : len(r)] = 1.0
+        batches.append((ids, mask))
+    return batches
+
+
+def _capture_layer(layer, spec, idx, hiddens, positions, moe_all_experts):
+    """jit-able: one layer forward with capture; returns (out, capture)."""
+    cap: Dict[str, jnp.ndarray] = {}
+    out, _ = apply_layer(layer, spec, idx, hiddens, positions, None,
+                         moe_all_experts, cap)
+    return out, cap
+
+
+def oneshot(
+    spec: ModelSpec,
+    params: Dict[str, Any],
+    recipe: Recipe,
+    batches: Sequence[Tuple[np.ndarray, np.ndarray]],
+    moe_calibrate_all_experts: bool = True,
+    pipeline: Optional[str] = None,
+) -> OneshotResult:
+    """Run calibrated quantization over ``params`` (modified in place and
+    returned inside the result)."""
+    t0 = time.time()
+    pipeline = pipeline or recipe.pipeline
+    modifiers = [_build_modifier(m) for m in recipe.modifiers]
+
+    if pipeline == "independent":
+        result: Optional[OneshotResult] = None
+        for mspec, mod in zip(recipe.modifiers, modifiers):
+            sub = Recipe(modifiers=[mspec], pipeline="sequential", raw=recipe.raw)
+            result = oneshot(spec, params, sub, batches,
+                             moe_calibrate_all_experts, pipeline="sequential")
+            params = result.params
+        assert result is not None
+        return result
+
+    propagate = pipeline != "basic"
+
+    # ---- merged config groups across modifiers (for the saved config) ----
+    config_groups: Dict[str, QuantScheme] = {}
+    ignore: List[str] = []
+    for i, mspec in enumerate(recipe.modifiers):
+        for gname, scheme in mspec.config_groups.items():
+            key = gname if gname not in config_groups else f"{gname}_m{i}"
+            config_groups[key] = scheme
+        for ig in mspec.ignore:
+            if ig not in ignore:
+                ignore.append(ig)
+
+    # ---- embed calibration data once -------------------------------------
+    any_capture_possible = True
+    hiddens: List[jnp.ndarray] = []
+    positions: List[jnp.ndarray] = []
+    masks: List[jnp.ndarray] = []
+    for ids, mask in batches:
+        ids_j = jnp.asarray(ids)
+        hiddens.append(embed(params, ids_j))
+        B, T = ids.shape
+        positions.append(jnp.broadcast_to(jnp.arange(T)[None, :], (B, T)))
+        masks.append(jnp.asarray(mask))
+
+    records: Dict[str, CompressedParam] = {}
+    extra_tensors: Dict[str, np.ndarray] = {}
+
+    propagate_fns: Dict[Tuple[int, Tuple[int, int]], Any] = {}
+
+    for li, layer in enumerate(params["layers"]):
+        t_layer = time.time()
+        sites = layer_sites(spec, li, layer)
+
+        # which modifier owns which site (first match in recipe order wins)
+        owned: List[Tuple[Modifier, LinearSite, str, QuantScheme]] = []
+        taken: set = set()
+        for mod in modifiers:
+            for site in sites:
+                if site.prefix in taken:
+                    continue
+                hit = scheme_for_site(site, mod.spec.config_groups,
+                                      mod.spec.ignore, spec.num_experts)
+                if hit is not None:
+                    gname, scheme = hit
+                    owned.append((mod, site, gname, scheme))
+                    taken.add(site.prefix)
+
+        ctx = LayerCtx(spec=spec, layer_idx=li, layer=layer, sites=sites)
+        per_mod: Dict[int, List[Tuple[LinearSite, str, QuantScheme]]] = {}
+        for mod, site, gname, scheme in owned:
+            per_mod.setdefault(id(mod), []).append((site, gname, scheme))
+        states: Dict[int, Any] = {}
+        want_capture = False
+        for mod in modifiers:
+            matched = per_mod.get(id(mod), [])
+            if not matched:
+                continue
+            states[id(mod)] = mod.begin_layer(ctx, matched)
+            want_capture = want_capture or mod.wants_capture_for(matched)
+
+        # ---- capture pass -------------------------------------------------
+        if owned and want_capture and batches:
+            cap_fn = jax.jit(
+                lambda lyr, h, pos: _capture_layer(lyr, spec, li, h, pos,
+                                                   moe_calibrate_all_experts),
+                static_argnums=(),
+            )
+            for h, pos, mask in zip(hiddens, positions, masks):
+                _, cap = cap_fn(layer, h, pos)
+                for mod, site, gname, scheme in owned:
+                    x_in = cap.get(site.capture_key)
+                    if x_in is not None:
+                        mod.observe(states[id(mod)], site, x_in, mask, cap)
+
+        # ---- layer-level transforms (AWQ smoothing), then compress ---------
+        for mod in modifiers:
+            matched = per_mod.get(id(mod), [])
+            if matched:
+                mod.pre_compress(states[id(mod)], ctx, matched)
+        for mod, site, gname, scheme in owned:
+            res: SiteResult = mod.compress(states[id(mod)], site, gname, scheme)
+            site.set(res.new_linear)
+            records.update(res.records)
+            extra_tensors.update(res.extra_tensors)
+
+        # ---- propagate ----------------------------------------------------
+        if propagate and batches:
+            prop = jax.jit(lambda lyr, h, pos: apply_layer(
+                lyr, spec, li, h, pos, None, moe_calibrate_all_experts)[0])
+            hiddens = [prop(layer, h, pos) for h, pos in zip(hiddens, positions)]
+
+        if owned:
+            logger.info("layer %d: %d sites compressed in %.1fs", li, len(owned),
+                        time.time() - t_layer)
+
+    # lm_head (rarely targeted; reference recipes ignore it)
+    stats = {"total_s": time.time() - t0}
+    return OneshotResult(
+        params=params,
+        records=records,
+        extra_tensors=extra_tensors,
+        config_groups=config_groups,
+        ignore=ignore,
+        kv_cache_scheme=recipe.kv_cache_scheme(),
+        stats=stats,
+    )

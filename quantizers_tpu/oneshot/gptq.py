@@ -1,0 +1,281 @@
+"""GPTQ — Hessian-based error-compensating quantization.
+
+TPU-native implementation of the reference's ``GPTQModifier``
+(``scripts/old_scripts/main_glm4-gptq.py:108-126``: W4A16 g128 asym with
+``dampening_frac``). Design:
+
+* Hessians ``H = Σ 2·XᵀX`` accumulate on device in f32 — one ``K×K`` per
+  target linear, streamed batch-by-batch (the reference's 107 GB-RAM pain
+  point, ``main_devstral-gptq.py:40-42``, becomes a bounded per-layer HBM
+  cost because layers are processed sequentially).
+* The column elimination runs as a jit-compiled ``lax.fori_loop`` over the
+  columns of each block (vectorized across all N output rows at once),
+  with the classic blocked rank-1 error propagation between blocks —
+  f32 accumulation throughout (the reference explicitly rejects TF32-style
+  precision loss, ``docs/quantization_tips_and_tricks.md:6-15``).
+* Group scales are solved up-front from the (damped) weights
+  (static-groups formulation) so the inner loop is pure snap-and-propagate;
+  ``actorder`` permutes columns by descending Hessian diagonal and emits
+  ``weight_g_idx`` (compressed-tensors pack-quantized quintuple,
+  ``recombine_weights_MiniMax-M2.1.py:54-65``).
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.numerics import compute_scale_zp, minmax_along
+from ..core.scheme import ActOrder, QuantizationArgs, QuantScheme, QuantType
+from .modifiers import LayerCtx, Modifier, SiteResult, build_site_result, weight_nk, expert_weights_enk
+from .sites import LinearSite
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# core solve
+# ---------------------------------------------------------------------------
+
+def _solve_qparams(w: jnp.ndarray, args: QuantizationArgs):
+    """Per-group (scale, zp) from current weights; returns arrays shaped
+    (N, n_groups) and the group size."""
+    N, K = w.shape
+    g = int(args.group_size) if args.group_size else K
+    mn, mx = minmax_along(w, args)  # honors strategy
+    scale, zp = compute_scale_zp(mn, mx, args)
+    if scale.ndim == 1:  # tensor/channel strategies
+        scale = jnp.broadcast_to(scale.reshape(-1, 1), (N, (K + g - 1) // g))
+        if zp is not None:
+            zp = jnp.broadcast_to(zp.reshape(-1, 1), scale.shape)
+    return scale, zp, g
+
+
+@partial(jax.jit, static_argnames=("block_size", "qmin", "qmax", "sym"))
+def _gptq_solve(W: jnp.ndarray, Hinv_u: jnp.ndarray, scale: jnp.ndarray,
+                zp: Optional[jnp.ndarray], col_group: jnp.ndarray, *,
+                block_size: int, qmin: float, qmax: float, sym: bool) -> jnp.ndarray:
+    """Blocked GPTQ elimination. W (N, K) f32, Hinv_u upper-triangular
+    Cholesky factor of H⁻¹ (K, K), col_group (K,) maps processing column →
+    scale group. Returns quantized *grid values* Q (N, K) (integer levels,
+    before scale multiplication)."""
+    N, K = W.shape
+
+    def snap(col_vals: jnp.ndarray, j: jnp.ndarray) -> jnp.ndarray:
+        gidx = col_group[j]
+        s = scale[:, gidx]
+        x = col_vals / s
+        if not sym and zp is not None:
+            x = x + zp[:, gidx]
+        q = jnp.clip(jnp.round(x), qmin, qmax)
+        return q
+
+    def dequant(q: jnp.ndarray, j: jnp.ndarray) -> jnp.ndarray:
+        gidx = col_group[j]
+        s = scale[:, gidx]
+        x = q
+        if not sym and zp is not None:
+            x = x - zp[:, gidx]
+        return x * s
+
+    n_blocks = (K + block_size - 1) // block_size
+
+    def process_block(b, carry):
+        W_cur, Q = carry
+        start = b * block_size
+
+        def col_step(i, inner):
+            W_blk, Q, Err = inner  # W_blk (N, bs) view of current block
+            j = start + i
+            w_col = jax.lax.dynamic_index_in_dim(W_blk, i, axis=1, keepdims=False)
+            q = snap(w_col, j)
+            dq = dequant(q, j)
+            d = Hinv_u[j, j]
+            err = (w_col - dq) / d  # (N,)
+            # propagate within the remaining columns of this block
+            u_row = jax.lax.dynamic_slice(Hinv_u, (j, start), (1, block_size))[0]
+            # zero out columns <= i
+            mask = (jnp.arange(block_size) > i).astype(W_blk.dtype)
+            W_blk = W_blk - err[:, None] * (u_row * mask)[None, :]
+            Q = jax.lax.dynamic_update_slice(Q, q[:, None], (0, j))
+            Err = jax.lax.dynamic_update_slice(Err, err[:, None], (0, i))
+            return (W_blk, Q, Err)
+
+        W_blk = jax.lax.dynamic_slice(W_cur, (0, start), (N, block_size))
+        Err0 = jnp.zeros((N, block_size), W.dtype)
+        W_blk, Q, Err = jax.lax.fori_loop(0, block_size, col_step, (W_blk, Q, Err0))
+        # propagate to all later blocks: W[:, end:] -= Err @ Hinv_u[start:end, end:]
+        U_rows = jax.lax.dynamic_slice(Hinv_u, (start, 0), (block_size, K))
+        tail_mask = (jnp.arange(K) >= start + block_size).astype(W.dtype)
+        delta = Err @ (U_rows * tail_mask[None, :])
+        W_cur = W_cur - delta
+        return (W_cur, Q)
+
+    # pad K to a multiple of block_size is assumed by caller
+    Q0 = jnp.zeros((N, K), W.dtype)
+    _, Q = jax.lax.fori_loop(0, n_blocks, process_block, (W, Q0))
+    return Q
+
+
+def gptq_quantize(w_nk: jnp.ndarray, H: jnp.ndarray, args: QuantizationArgs,
+                  block_size: int = 128, dampening_frac: float = 0.01,
+                  ) -> Tuple[Any, Optional[np.ndarray]]:
+    """Run GPTQ on one weight. Returns (QuantizedTensor, g_idx or None)."""
+    from ..core.numerics import QuantizedTensor
+
+    N, K = w_nk.shape
+    W = w_nk.astype(jnp.float32)
+    H = H.astype(jnp.float32)
+
+    # dead channels: no activation mass → pin diagonal, zero the weight col
+    diag = jnp.diag(H)
+    dead = diag == 0
+    H = H + jnp.diag(jnp.where(dead, 1.0, 0.0))
+    W = jnp.where(dead[None, :], 0.0, W)
+
+    # activation ordering: process salient columns first.
+    #   GROUP  — groups are contiguous in the *permuted* domain; persist
+    #            weight_g_idx so readers regroup (compressed-tensors schema).
+    #   WEIGHT — permuted processing order, but groups stay bound to the
+    #            original column index (no g_idx on disk).
+    perm = None
+    if args.actorder in (ActOrder.GROUP, ActOrder.WEIGHT):
+        perm = jnp.argsort(-jnp.diag(H))
+        W_perm = W[:, perm]
+        H = H[perm][:, perm]
+    else:
+        W_perm = W
+
+    # damping
+    damp = dampening_frac * jnp.mean(jnp.diag(H))
+    H = H + damp * jnp.eye(K, dtype=jnp.float32)
+
+    # upper-triangular factor U of H⁻¹ with H⁻¹ = UᵀU: U = chol(H⁻¹)ᵀ
+    L = jnp.linalg.cholesky(H)
+    Hinv = jax.scipy.linalg.cho_solve((L, True), jnp.eye(K, dtype=jnp.float32))
+    Hinv = 0.5 * (Hinv + Hinv.T) + 1e-10 * jnp.eye(K)
+    U = jnp.linalg.cholesky(Hinv).T
+    U = jnp.where(jnp.isnan(U).any(), jnp.eye(K, dtype=jnp.float32), U)
+
+    qmin, qmax = args.qrange
+    g = int(args.group_size) if args.group_size else K
+    if perm is not None and args.actorder == ActOrder.WEIGHT:
+        # scales from original-order weights; groups = original columns
+        scale, zp, _ = _solve_qparams(W, args)
+        col_group = perm // g  # processing position -> original group
+    else:
+        scale, zp, _ = _solve_qparams(W_perm, args)
+        col_group = jnp.arange(K) // g
+
+    # pad K to block multiple
+    bs = min(block_size, K)
+    pad = (-K) % bs
+    n_groups = scale.shape[1]
+    if pad:
+        W_perm = jnp.pad(W_perm, ((0, 0), (0, pad)))
+        U = jnp.pad(U, ((0, pad), (0, pad)))
+        U = U.at[jnp.arange(K, K + pad), jnp.arange(K, K + pad)].set(1.0)
+        scale = jnp.pad(scale, ((0, 0), (0, 1)), constant_values=1.0)
+        if zp is not None:
+            zp = jnp.pad(zp, ((0, 0), (0, 1)))
+        col_group = jnp.concatenate([col_group, jnp.full((pad,), n_groups, jnp.int32)])
+
+    Q = _gptq_solve(W_perm, U, scale, zp, col_group.astype(jnp.int32),
+                    block_size=bs, qmin=float(qmin), qmax=float(qmax),
+                    sym=args.symmetric)
+    Q = Q[:, :K]
+    scale = scale[:, :n_groups]
+    if zp is not None:
+        zp = zp[:, :n_groups]
+
+    g_idx = None
+    if perm is not None:
+        inv = jnp.argsort(perm)
+        Q = Q[:, inv]
+        if args.actorder == ActOrder.GROUP:
+            # group of original column j = (its position in perm order) // g
+            g_idx = np.asarray(inv // g, dtype=np.int32)
+
+    vals = Q.astype(jnp.int8) if args.type == QuantType.INT else Q
+    qt = QuantizedTensor(
+        values=vals,
+        scale=scale,
+        zero_point=None if args.symmetric else zp,
+        global_scale=None,
+        shape=(N, K),
+    )
+    return qt, g_idx
+
+
+# ---------------------------------------------------------------------------
+# modifier
+# ---------------------------------------------------------------------------
+
+class GPTQModifier(Modifier):
+    name = "GPTQModifier"
+    needs_capture = True
+
+    def begin_layer(self, ctx: LayerCtx, matched) -> Any:
+        state = super().begin_layer(ctx, matched)
+        state["H"] = {}  # prefix -> (K,K) device array
+        state["n"] = {}
+        return state
+
+    def observe(self, state, site: LinearSite, x_in, mask, capture) -> None:
+        super().observe(state, site, x_in, mask, capture)
+        x = x_in.astype(jnp.float32)
+        if x.ndim == 3 and not site.is_expert:
+            x = x.reshape(-1, x.shape[-1])
+        if site.is_expert and x.ndim == 3:
+            # (E, N, C) expert inputs → one Hessian per expert, keyed prefix/e
+            for e in range(x.shape[0]):
+                self._accum(state, site.expert_prefix(e), x[e], mask)
+            return
+        if mask is not None:
+            m = mask.reshape(-1).astype(jnp.float32)
+            if m.shape[0] == x.shape[0]:
+                x = x * m[:, None]
+        self._accum(state, site.prefix, x, None)
+
+    def _accum(self, state, key: str, x2: jnp.ndarray, mask) -> None:
+        if mask is not None:
+            m = mask.reshape(-1).astype(jnp.float32)
+            if m.shape[0] == x2.shape[0]:
+                x2 = x2 * m[:, None]
+        h = 2.0 * (x2.T @ x2)
+        if key in state["H"]:
+            state["H"][key] = state["H"][key] + h
+        else:
+            state["H"][key] = h
+
+    def compress(self, state, site: LinearSite, group: str,
+                 scheme: QuantScheme) -> SiteResult:
+        args = scheme.weights
+        bs = self.spec.block_size
+        damp = self.spec.dampening_frac
+        if site.is_expert:
+            el = site.get()
+            w = expert_weights_enk(el)
+            qts = []
+            for e in range(el.num_experts):
+                H = state["H"].get(site.expert_prefix(e))
+                if H is None:
+                    H = jnp.eye(w.shape[-1], dtype=jnp.float32)
+                qt, _ = gptq_quantize(w[e], H, args, bs, damp)
+                qts.append(qt)
+            res = build_site_result(site, args, group, qt_per_expert=qts)
+        else:
+            H = state["H"].get(site.prefix)
+            w = weight_nk(site.get())
+            if H is None:
+                logger.warning("GPTQ: no activations for %s; falling back to RTN", site.prefix)
+                res = build_site_result(site, args, group, w_nk=w)
+                return self.finalize_site(state, site, scheme, res)
+            qt, g_idx = gptq_quantize(w, H, args, bs, damp)
+            res = build_site_result(site, args, group, qt=qt, g_idx=g_idx)
+        return self.finalize_site(state, site, scheme, res)

@@ -1,0 +1,212 @@
+"""Modifier protocol + RTN (`QuantizationModifier`).
+
+A modifier transforms one layer's weights given (optionally) captured
+activations. The engine drives it layer-by-layer:
+
+    state = modifier.begin_layer(...)
+    for batch: modifier.observe(state, site, x_in, mask)   # if needs_capture
+    modifier.compress(state, site, group, scheme) -> SiteResult
+
+RTN is the reference's ``QuantizationModifier`` (used data-free in
+``main_seed-oss-fp8.py:31-33`` and for FP8 attention in the mixed recipes):
+pure round-to-nearest under the scheme's observer, no activation feedback —
+except static (non-dynamic) activation schemes, whose ``input_scale`` /
+``output_scale`` are calibrated from captured activations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.numerics import quantize
+from ..core.scheme import QuantizationArgs, QuantScheme
+from ..formats.checkpoint import CompressedParam
+from ..models.moe import ExpertLinears
+from ..ops.linear import QuantLinear, from_quantized
+from ..recipes import ModifierSpec
+from .sites import LinearSite
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class SiteResult:
+    """Outcome of compressing one site."""
+
+    new_linear: Any  # QuantLinear | ExpertLinears
+    records: Dict[str, CompressedParam]  # per concrete HF prefix
+    extra_tensors: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
+
+
+def weight_nk(lin: QuantLinear) -> jnp.ndarray:
+    """Current weight in HF (N, K) orientation, f32."""
+    return lin.dequantize(jnp.float32).T
+
+
+def expert_weights_enk(el: ExpertLinears) -> jnp.ndarray:
+    """(E, N, K) f32 stack of an expert group's weights."""
+    return jnp.stack([el.expert(e).dequantize(jnp.float32).T
+                      for e in range(el.num_experts)])
+
+
+def quantize_weight_nk(w_nk: jnp.ndarray, args: QuantizationArgs):
+    """quantize + build device layout; returns (QuantLinear-payload parts)."""
+    qt = quantize(w_nk, args)
+    return qt
+
+
+def _to_host(qt):
+    return qt._replace(
+        values=np.asarray(qt.values),
+        scale=np.asarray(qt.scale),
+        zero_point=None if qt.zero_point is None else np.asarray(qt.zero_point),
+        global_scale=None if qt.global_scale is None else np.asarray(qt.global_scale),
+    )
+
+
+def build_site_result(site: LinearSite, args: QuantizationArgs, group: str,
+                      w_nk: Optional[jnp.ndarray] = None,
+                      w_enk: Optional[jnp.ndarray] = None,
+                      g_idx: Optional[np.ndarray] = None,
+                      qt: Optional[Any] = None,
+                      qt_per_expert: Optional[List[Any]] = None) -> SiteResult:
+    """Quantize a site's weights (already transformed by the algorithm) and
+    assemble the new device linear + on-disk records. Callers that solved
+    their own quantization (GPTQ/AutoRound) pass prebuilt ``qt`` /
+    ``qt_per_expert`` instead of raw weights."""
+    if site.is_expert:
+        el: ExpertLinears = site.get()
+        new_lins: List[QuantLinear] = []
+        records: Dict[str, CompressedParam] = {}
+        for e in range(el.num_experts):
+            qt_e = qt_per_expert[e] if qt_per_expert is not None else quantize(w_enk[e], args)
+            qt_host = _to_host(qt_e)
+            bias = el.expert(e).bias
+            new_lins.append(from_quantized(qt_host, args, bias=bias))
+            records[site.expert_prefix(e)] = CompressedParam(qt=qt_host, args=args, group=group)
+        return SiteResult(new_linear=ExpertLinears.stack(new_lins), records=records)
+
+    lin: QuantLinear = site.get()
+    if qt is None:
+        qt = quantize(w_nk, args)
+    qt_host = _to_host(qt)
+    new_lin = from_quantized(qt_host, args, bias=lin.bias)
+    rec = CompressedParam(qt=qt_host, args=args, group=group,
+                          g_idx=None if g_idx is None else np.asarray(g_idx))
+    return SiteResult(new_linear=new_lin, records={site.prefix: rec})
+
+
+# ---------------------------------------------------------------------------
+# static activation-scale observation (shared by all modifiers)
+# ---------------------------------------------------------------------------
+
+class ActScaleObserver:
+    """Tracks absmax of a site's input activations for static act schemes
+    (e.g. per-tensor FP8 `main_seed-oss-fp8-kv8.py:168-202`)."""
+
+    def __init__(self) -> None:
+        self.absmax: float = 0.0
+
+    def update(self, x: jnp.ndarray, mask: Optional[jnp.ndarray]) -> None:
+        xf = jnp.abs(x.astype(jnp.float32)).reshape(-1, x.shape[-1])
+        if mask is not None:
+            m = mask.reshape(-1).astype(jnp.float32)
+            if m.shape[0] == xf.shape[0]:
+                xf = xf * m[:, None]
+        self.absmax = max(self.absmax, float(jnp.max(xf)))
+
+    def scale(self, args: QuantizationArgs) -> np.ndarray:
+        s = self.absmax / args.scale_divisor
+        return np.asarray([max(s, 1e-10)], dtype=np.float32)
+
+
+def needs_static_act(scheme: QuantScheme) -> bool:
+    a = scheme.input_activations
+    return a is not None and not a.dynamic
+
+
+@dataclasses.dataclass
+class LayerCtx:
+    """Everything a modifier may need about the layer being compressed."""
+
+    spec: Any  # ModelSpec
+    layer_idx: int
+    layer: Dict[str, Any]
+    sites: List[LinearSite]
+
+
+class Modifier:
+    """Base modifier. Subclasses override the hooks they need."""
+
+    name = "Modifier"
+    needs_capture = False
+
+    def __init__(self, spec: ModifierSpec) -> None:
+        self.spec = spec
+
+    # --- per-layer protocol -------------------------------------------------
+    def begin_layer(self, ctx: LayerCtx,
+                    matched: List[Tuple[LinearSite, str, QuantScheme]]) -> Any:
+        """matched: (site, group_name, scheme) triples this modifier owns."""
+        state: Dict[str, Any] = {"act_obs": {}}
+        for site, _, scheme in matched:
+            if needs_static_act(scheme):
+                state["act_obs"][site.prefix] = ActScaleObserver()
+        return state
+
+    def wants_capture_for(self, matched) -> bool:
+        return self.needs_capture or any(needs_static_act(s) for _, _, s in matched)
+
+    def observe(self, state: Any, site: LinearSite, x_in: jnp.ndarray,
+                mask: Optional[jnp.ndarray], capture: Dict[str, jnp.ndarray]) -> None:
+        obs = state["act_obs"].get(site.prefix)
+        if obs is not None:
+            obs.update(x_in, mask)
+
+    def pre_compress(self, state: Any, ctx: LayerCtx,
+                     matched: List[Tuple[LinearSite, str, QuantScheme]]) -> None:
+        """Layer-level weight transform before per-site quantization
+        (AWQ smoothing lives here)."""
+
+    def compress(self, state: Any, site: LinearSite, group: str,
+                 scheme: QuantScheme) -> SiteResult:
+        raise NotImplementedError
+
+    def finalize_site(self, state: Any, site: LinearSite, scheme: QuantScheme,
+                      result: SiteResult) -> SiteResult:
+        """Attach static activation scales."""
+        obs = state["act_obs"].get(site.prefix)
+        if obs is not None and scheme.input_activations is not None:
+            scale = obs.scale(scheme.input_activations)
+            if site.is_expert:
+                el: ExpertLinears = result.new_linear
+                for e in range(el.num_experts):
+                    result.extra_tensors[f"{site.expert_prefix(e)}.input_scale"] = scale
+            else:
+                result.extra_tensors[f"{site.prefix}.input_scale"] = scale
+        return result
+
+
+class RTNModifier(Modifier):
+    """Round-to-nearest under the scheme's observer — the
+    `QuantizationModifier` of the reference's recipes."""
+
+    name = "QuantizationModifier"
+    needs_capture = False
+
+    def compress(self, state: Any, site: LinearSite, group: str,
+                 scheme: QuantScheme) -> SiteResult:
+        args = scheme.weights
+        if site.is_expert:
+            w = expert_weights_enk(site.get())
+            res = build_site_result(site, args, group, w_enk=w)
+        else:
+            w = weight_nk(site.get())
+            res = build_site_result(site, args, group, w_nk=w)
+        return self.finalize_site(state, site, scheme, res)

@@ -1,0 +1,292 @@
+"""Oneshot engine tests: RTN / AWQ / GPTQ / AutoRound on tiny models.
+
+The reference has no numeric tests for quantization algorithms (they live
+in llmcompressor); here each algorithm gets a golden property test —
+AWQ/GPTQ/AutoRound must beat plain RTN in their own objective — plus full
+pipeline round-trips (oneshot → compressed checkpoint → reload → forward).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from quantizers_tpu.core.numerics import dequantize, fake_quantize, quantize
+from quantizers_tpu.core.scheme import PRESET_SCHEMES, QuantizationArgs, QuantStrategy, QuantType
+from quantizers_tpu.models import ModelSpec, forward, init_params
+from quantizers_tpu.models.loader import load_compressed_model, model_plain_tensors, iter_model_linears
+from quantizers_tpu.oneshot import make_batches, oneshot
+from quantizers_tpu.oneshot.gptq import gptq_quantize
+from quantizers_tpu.oneshot.autoround import autoround_quantize
+from quantizers_tpu.recipes import parse_recipe
+from quantizers_tpu.formats.checkpoint import save_compressed_model
+
+
+W4G32 = {
+    "targets": ["Linear"],
+    "weights": {"num_bits": 4, "type": "int", "symmetric": True,
+                "strategy": "group", "group_size": 32},
+}
+
+
+def _recipe(modifier: str, extra=None, ignore=("lm_head",)):
+    body = {"config_groups": {"group_0": dict(W4G32)}, "ignore": list(ignore)}
+    body.update(extra or {})
+    return parse_recipe({"quant_stage": {"quant_modifiers": {modifier: body}}})
+
+
+def _tiny_batches(spec, n=4, T=16):
+    rng = np.random.default_rng(0)
+    samples = [list(rng.integers(1, spec.vocab_size, size=rng.integers(T // 2, T)))
+               for _ in range(n)]
+    return make_batches(samples, max_seq_length=T, batch_size=2, pad_to_multiple=8)
+
+
+@pytest.fixture(scope="module")
+def dense():
+    spec = ModelSpec.tiny()
+    return spec, init_params(spec, jax.random.PRNGKey(0))
+
+
+@pytest.fixture(scope="module")
+def moe():
+    spec = ModelSpec.tiny(moe=True)
+    return spec, init_params(spec, jax.random.PRNGKey(1))
+
+
+def _clone(params):
+    return jax.tree_util.tree_map(lambda x: x, params)
+
+
+def _logits(spec, params, ids):
+    out, _ = forward(params, spec, ids)
+    return np.asarray(out, np.float32)
+
+
+class TestMakeBatches:
+    def test_shapes_and_mask(self):
+        batches = make_batches([[1, 2, 3], [4, 5], list(range(1, 30))],
+                               max_seq_length=16, batch_size=2, pad_to_multiple=8)
+        assert len(batches) == 2
+        for ids, mask in batches:
+            assert ids.shape == mask.shape
+            assert ids.shape[1] % 8 == 0
+            assert ids.shape[1] <= 16
+        # total real tokens preserved (truncated to max_seq_length)
+        total = sum(int(m.sum()) for _, m in batches)
+        assert total == 3 + 2 + 16
+
+    def test_dict_rows(self):
+        batches = make_batches([{"input_ids": [1, 2, 3]}], max_seq_length=8,
+                               batch_size=1, pad_to_multiple=4)
+        assert batches[0][0].shape == (1, 4)
+
+
+class TestRTN:
+    def test_oneshot_quantizes_and_runs(self, dense):
+        spec, params0 = dense
+        params = _clone(params0)
+        ids = jnp.array([[1, 2, 3, 4, 5, 6, 7, 8]], dtype=jnp.int32)
+        ref = _logits(spec, params0, ids)
+
+        res = oneshot(spec, params, _recipe("QuantizationModifier"),
+                      _tiny_batches(spec))
+        # every attn+mlp linear in both layers quantized; lm_head ignored
+        assert len(res.records) == spec.num_layers * 7
+        assert all(".lm_head" not in p for p in res.records)
+        assert res.params["layers"][0]["q_proj"].kind == "w4"
+
+        out = _logits(spec, res.params, ids)
+        rel = np.abs(ref - out).mean() / (np.abs(ref).mean() + 1e-9)
+        assert rel < 0.3
+
+    def test_static_fp8_act_scales(self, dense):
+        spec, params0 = dense
+        params = _clone(params0)
+        scheme = {
+            "targets": ["Linear"],
+            "weights": {"num_bits": 8, "type": "float", "strategy": "channel"},
+            "input_activations": {"num_bits": 8, "type": "float",
+                                  "strategy": "tensor", "dynamic": False},
+        }
+        recipe = parse_recipe({"quant_stage": {"quant_modifiers": {
+            "QuantizationModifier": {
+                "config_groups": {"group_0": scheme}, "ignore": ["lm_head"]}}}})
+        res = oneshot(spec, params, recipe, _tiny_batches(spec))
+        scales = [k for k in res.extra_tensors if k.endswith(".input_scale")]
+        assert len(scales) == spec.num_layers * 7
+        assert all(res.extra_tensors[k][0] > 0 for k in scales)
+
+
+class TestAWQ:
+    def test_awq_beats_rtn_on_outlier_channels(self):
+        """Synthetic case with activation outliers — AWQ's home turf."""
+        rng = np.random.default_rng(3)
+        K, N, rows = 64, 32, 256
+        W = rng.normal(size=(N, K)).astype(np.float32)
+        X = rng.normal(size=(rows, K)).astype(np.float32)
+        X[:, :4] *= 50.0  # outlier channels
+
+        args = QuantizationArgs(num_bits=4, type=QuantType.INT, symmetric=True,
+                                strategy=QuantStrategy.GROUP, group_size=32)
+        Xj, Wj = jnp.asarray(X), jnp.asarray(W)
+        y_ref = Xj @ Wj.T
+
+        # plain RTN
+        err_rtn = float(jnp.mean((Xj @ fake_quantize(Wj, args).T - y_ref) ** 2))
+
+        # AWQ-style: scale by duo formula, search
+        from quantizers_tpu.oneshot.awq import _search_scale
+
+        x_mean = np.abs(X).mean(axis=0)
+        w_mean = np.abs(W).mean(axis=0)
+        s = _search_scale(X, x_mean, w_mean, [Wj], args, duo_scaling=True)
+        sj = jnp.asarray(s)
+        wq = fake_quantize(Wj * sj[None, :], args)
+        err_awq = float(jnp.mean(((Xj / sj[None, :]) @ wq.T - y_ref) ** 2))
+        assert err_awq < err_rtn, (err_awq, err_rtn)
+
+    def test_awq_oneshot_runs(self, dense):
+        spec, params0 = dense
+        params = _clone(params0)
+        ids = jnp.array([[1, 2, 3, 4, 5, 6, 7, 8]], dtype=jnp.int32)
+        ref = _logits(spec, params0, ids)
+        res = oneshot(spec, params,
+                      _recipe("AWQModifier", {"duo_scaling": True}),
+                      _tiny_batches(spec))
+        assert len(res.records) == spec.num_layers * 7
+        out = _logits(spec, res.params, ids)
+        rel = np.abs(ref - out).mean() / (np.abs(ref).mean() + 1e-9)
+        assert rel < 0.3
+
+
+class TestGPTQ:
+    def test_gptq_beats_rtn_in_hessian_metric(self):
+        rng = np.random.default_rng(5)
+        K, N, rows = 64, 16, 512
+        W = rng.normal(size=(N, K)).astype(np.float32)
+        X = rng.normal(size=(rows, K)).astype(np.float32)
+        X[:, : K // 4] *= 8.0  # anisotropic inputs
+        H = jnp.asarray(2.0 * X.T @ X)
+        args = QuantizationArgs(num_bits=4, type=QuantType.INT, symmetric=True,
+                                strategy=QuantStrategy.GROUP, group_size=32)
+        Wj, Xj = jnp.asarray(W), jnp.asarray(X)
+        y_ref = Xj @ Wj.T
+
+        qt, g_idx = gptq_quantize(Wj, H, args, block_size=32)
+        assert g_idx is None
+        w_gptq = dequantize(qt, args)
+        err_gptq = float(jnp.mean((Xj @ w_gptq.T - y_ref) ** 2))
+        err_rtn = float(jnp.mean((Xj @ fake_quantize(Wj, args).T - y_ref) ** 2))
+        assert err_gptq < err_rtn, (err_gptq, err_rtn)
+
+    def test_gptq_actorder_group_emits_gidx(self):
+        rng = np.random.default_rng(6)
+        K, N = 64, 8
+        W = jnp.asarray(rng.normal(size=(N, K)).astype(np.float32))
+        X = rng.normal(size=(128, K)).astype(np.float32)
+        X[:, ::3] *= 10
+        H = jnp.asarray(2.0 * X.T @ X)
+        args = QuantizationArgs(num_bits=4, type=QuantType.INT, symmetric=True,
+                                strategy=QuantStrategy.GROUP, group_size=16,
+                                actorder="group")
+        qt, g_idx = gptq_quantize(W, H, args, block_size=32)
+        assert g_idx is not None and g_idx.shape == (K,)
+        # every group index used exactly group_size times
+        vals, counts = np.unique(g_idx, return_counts=True)
+        assert list(vals) == list(range(K // 16))
+        assert all(c == 16 for c in counts)
+
+    def test_gptq_oneshot_runs(self, dense):
+        spec, params0 = dense
+        params = _clone(params0)
+        ids = jnp.array([[1, 2, 3, 4, 5, 6, 7, 8]], dtype=jnp.int32)
+        ref = _logits(spec, params0, ids)
+        res = oneshot(spec, params, _recipe("GPTQModifier"), _tiny_batches(spec))
+        assert len(res.records) == spec.num_layers * 7
+        out = _logits(spec, res.params, ids)
+        rel = np.abs(ref - out).mean() / (np.abs(ref).mean() + 1e-9)
+        assert rel < 0.3
+
+
+class TestAutoRound:
+    def test_autoround_beats_rtn(self):
+        rng = np.random.default_rng(7)
+        K, N, rows = 32, 16, 128
+        W = rng.normal(size=(N, K)).astype(np.float32)
+        X = rng.normal(size=(rows, K)).astype(np.float32)
+        args = QuantizationArgs(num_bits=3, type=QuantType.INT, symmetric=True,
+                                strategy=QuantStrategy.GROUP, group_size=16)
+        Wj, Xj = jnp.asarray(W), jnp.asarray(X)
+        y_ref = Xj @ Wj.T
+        qt = autoround_quantize(Wj, X, args, iters=100)
+        w_ar = dequantize(qt, args)
+        err_ar = float(jnp.mean((Xj @ w_ar.T - y_ref) ** 2))
+        err_rtn = float(jnp.mean((Xj @ fake_quantize(Wj, args).T - y_ref) ** 2))
+        assert err_ar <= err_rtn * 1.001, (err_ar, err_rtn)
+
+    def test_autoround_oneshot_runs(self, dense):
+        spec, params0 = dense
+        params = _clone(params0)
+        res = oneshot(spec, params, _recipe("AutoRoundModifier", {"iters": 8}),
+                      _tiny_batches(spec))
+        assert len(res.records) == spec.num_layers * 7
+
+
+class TestMoEOneshot:
+    def test_experts_only_nvfp4(self, moe):
+        """Mirror of reference recipe_MoE_RTN_NVFP4.yaml: experts quantized,
+        router + attention kept high-precision."""
+        spec, params0 = moe
+        params = _clone(params0)
+        recipe = parse_recipe({"quant_stage": {"quant_modifiers": {
+            "QuantizationModifier": {
+                "config_groups": {"group_0": {
+                    "targets": ["re:.*mlp\\.experts\\.\\d+\\.(gate|up|down)_proj$"],
+                    "weights": {"num_bits": 4, "type": "float", "symmetric": True,
+                                "strategy": "tensor_group", "group_size": 16},
+                }},
+                "ignore": ["lm_head", "re:.*mlp\\.gate$"],
+            }}}})
+        res = oneshot(spec, params, recipe, _tiny_batches(spec),
+                      moe_calibrate_all_experts=True)
+        E = spec.num_experts
+        assert len(res.records) == spec.num_layers * 3 * E
+        layer0 = res.params["layers"][0]
+        assert layer0["moe"]["gate_proj"].kind == "nvfp4"
+        assert layer0["moe"]["router"].kind == "dense"
+        assert layer0["q_proj"].kind == "dense"
+        ids = jnp.array([[1, 2, 3, 4]], dtype=jnp.int32)
+        out, _ = forward(res.params, spec, ids)
+        assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+class TestEndToEnd:
+    def test_oneshot_save_reload(self, dense, tmp_path):
+        spec, params0 = dense
+        params = _clone(params0)
+        res = oneshot(spec, params, _recipe("QuantizationModifier"),
+                      _tiny_batches(spec))
+        plain = model_plain_tensors(spec, res.params)
+        for prefix, lin in iter_model_linears(spec, res.params):
+            if prefix not in res.records:
+                plain[f"{prefix}.weight"] = np.asarray(
+                    lin.dequantize(jnp.float32)).T
+        save_compressed_model(
+            tmp_path, plain, res.records,
+            config_groups=res.config_groups, ignore=res.ignore,
+            base_config=spec.to_hf_config(),
+        )
+        spec2, params2 = load_compressed_model(tmp_path)
+        assert params2["layers"][0]["q_proj"].kind == "w4"
+        ids = jnp.array([[1, 2, 3, 4]], dtype=jnp.int32)
+        a = _logits(spec, res.params, ids)
+        b = _logits(spec2, params2, ids)
+        np.testing.assert_allclose(a, b, rtol=5e-2, atol=5e-2)
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(pytest.main([__file__, "-v"]))
