@@ -68,16 +68,21 @@ def _autoround_solve(W: jnp.ndarray, X: jnp.ndarray, scale: jnp.ndarray,
     def step(i, carry):
         V, bestV, bestL = carry
         loss, g = grad_fn(V)
-        decay = 1.0 - i.astype(jnp.float32) / iters
-        V = jnp.clip(V - lr * decay * jnp.sign(g), -0.5, 0.5)
+        # best-so-far snapshots the V the loss was MEASURED at (iter 0 ⇒
+        # V=0 ⇒ plain RTN), so the result can never be worse than RTN.
         better = loss < bestL
         bestV = jnp.where(better, V, bestV)
         bestL = jnp.where(better, loss, bestL)
+        decay = 1.0 - i.astype(jnp.float32) / iters
+        V = jnp.clip(V - lr * decay * jnp.sign(g), -0.5, 0.5)
         return (V, bestV, bestL)
 
     V0 = jnp.zeros_like(W)
-    _, bestV, bestL = jax.lax.fori_loop(
+    V, bestV, bestL = jax.lax.fori_loop(
         0, iters, step, (V0, V0, jnp.asarray(jnp.inf, jnp.float32)))
+    final_loss = loss_fn(V)
+    bestV = jnp.where(final_loss < bestL, V, bestV)
+    bestL = jnp.minimum(final_loss, bestL)
 
     s = jnp.repeat(scale, group_size, axis=1)[:, :K]
     x = W / s + bestV

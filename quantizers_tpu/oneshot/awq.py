@@ -267,7 +267,6 @@ def _apply_smoothing(ctx: LayerCtx, smooth, balance: List[LinearSite],
             s_v = s_o.reshape(KV, rep, hd).mean(axis=1)  # (KV, hd)
             # rewrite the balance scale so it is consistent with s_v
             scale = jnp.repeat(s_v, rep, axis=0).reshape(H * hd)
-            scale_np[:] = np.asarray(scale)
             site.set(_fold_rows(site.get(), s_v.reshape(KV * hd)))
         else:
             site.set(_fold_rows(site.get(), scale))

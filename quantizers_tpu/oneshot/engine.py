@@ -83,6 +83,7 @@ def make_batches(tokenized: Iterable[Any], max_seq_length: int,
         if ids:
             rows.append(ids)
     rows.sort(key=len)  # length-bucketing minimizes padding waste
+    pad_to_multiple = min(pad_to_multiple, max_seq_length)
     batches: List[Tuple[np.ndarray, np.ndarray]] = []
     for i in range(0, len(rows), batch_size):
         chunk = rows[i : i + batch_size]
