@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Headline benchmark: W4A16 decode throughput, Qwen3-4B-shaped, 1 chip.
+
+Prints ONE JSON line:
+  {"metric": "decode_tokens_per_s_per_chip_qwen3_4b_w4a16",
+   "value": <tokens/s>, "unit": "tok/s/chip", "vs_baseline": <frac of 0.9×roofline>}
+
+The baseline is the BASELINE.md north star — ≥90% of the HBM-bandwidth
+roofline for batched decode (decode is bandwidth-bound: every step reads
+all quantized weights once plus the KV cache). vs_baseline = measured /
+(0.9 × roofline), so 1.0 == target met.
+
+Weights are synthetic (random int4 payloads + constant scales) in the
+exact device layouts the serving path uses — content doesn't affect speed,
+and it keeps the bench free of checkpoint downloads (zero-egress box).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+HBM_GBPS = {"TPU v5 lite": 819.0, "TPU v5e": 819.0, "TPU v4": 1228.0,
+            "TPU v5p": 2765.0, "TPU v6 lite": 1640.0}
+
+
+def make_w4_linear(key, k: int, n: int, g: int = 32):
+    import jax
+    import jax.numpy as jnp
+
+    from quantizers_tpu.ops.linear import QuantLinear
+
+    kw, ks = jax.random.split(key)
+    weight = jax.random.bits(kw, (k // 2, n), dtype=jnp.uint8)
+    scale = jnp.full((k // g, n), 0.008, jnp.bfloat16)
+    return QuantLinear(kind="w4", weight=weight, scale=scale,
+                       meta=(("k", k), ("n", n), ("group_size", g)))
+
+
+def build_params(spec, key):
+    import jax
+    import jax.numpy as jnp
+
+    D, Ff = spec.hidden_size, spec.intermediate_size
+    layers = []
+    keys = jax.random.split(key, spec.num_layers + 1)
+    for i in range(spec.num_layers):
+        ks = jax.random.split(keys[i], 8)
+        layer = {
+            "input_layernorm": jnp.ones((D,), jnp.bfloat16),
+            "post_attention_layernorm": jnp.ones((D,), jnp.bfloat16),
+            "q_proj": make_w4_linear(ks[0], D, spec.q_dim),
+            "k_proj": make_w4_linear(ks[1], D, spec.kv_dim),
+            "v_proj": make_w4_linear(ks[2], D, spec.kv_dim),
+            "o_proj": make_w4_linear(ks[3], spec.q_dim, D),
+            "mlp": {
+                "gate_proj": make_w4_linear(ks[4], D, Ff),
+                "up_proj": make_w4_linear(ks[5], D, Ff),
+                "down_proj": make_w4_linear(ks[6], Ff, D),
+            },
+        }
+        if spec.qk_norm:
+            layer["q_norm"] = jnp.ones((spec.head_dim,), jnp.bfloat16)
+            layer["k_norm"] = jnp.ones((spec.head_dim,), jnp.bfloat16)
+        layers.append(layer)
+    embed = (jax.random.normal(keys[-1], (spec.vocab_size, D), jnp.bfloat16) * 0.02)
+    return {"embed": embed, "layers": layers, "final_norm": jnp.ones((D,), jnp.bfloat16),
+            "lm_head": None}
+
+
+def weight_bytes(params) -> int:
+    import jax
+
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(params):
+        total += leaf.size * leaf.dtype.itemsize
+    return total
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    backend = jax.default_backend()
+    on_tpu = backend in ("tpu", "axon")
+    log(f"backend={backend} devices={jax.devices()}")
+
+    from quantizers_tpu.models import KVCache, ModelSpec
+    from quantizers_tpu.serve.engine import _decode_scan, prefill
+
+    if on_tpu:
+        # Qwen3-4B geometry (tied embeddings)
+        spec = ModelSpec(
+            vocab_size=151936, hidden_size=2560, num_layers=36, num_heads=32,
+            num_kv_heads=8, head_dim=128, intermediate_size=9728,
+            qk_norm=True, tie_word_embeddings=True, model_type="qwen3",
+        )
+        B, T_prefill, steps, max_len = 8, 128, 32, 512
+        kind = "qwen3_4b"
+    else:
+        spec = ModelSpec.tiny(num_layers=2, hidden_size=128, num_heads=8,
+                              num_kv_heads=4, head_dim=16,
+                              intermediate_size=256, vocab_size=1024)
+        B, T_prefill, steps, max_len = 2, 16, 8, 64
+        kind = "tiny_cpu_fallback"
+
+    t0 = time.time()
+    params = build_params(spec, jax.random.PRNGKey(0))
+    params = jax.block_until_ready(params)
+    wbytes = weight_bytes(params)
+    log(f"params built in {time.time()-t0:.1f}s; weights+scales {wbytes/1e9:.2f} GB")
+
+    caches = KVCache.init(spec, B, max_len)
+    ids = jnp.asarray(
+        (np.arange(B * T_prefill).reshape(B, T_prefill) * 97 + 1) % spec.vocab_size,
+        jnp.int32)
+
+    t0 = time.time()
+    last, caches = prefill(params, spec, ids, caches)
+    last = jax.block_until_ready(last)
+    log(f"prefill({B}x{T_prefill}) compile+run {time.time()-t0:.1f}s")
+
+    first = jnp.argmax(last, axis=-1).astype(jnp.int32)
+    key = jax.random.PRNGKey(1)
+
+    # compile decode scan
+    t0 = time.time()
+    toks, caches2 = _decode_scan(params, spec, caches, first, key,
+                                 steps=steps, temperature=0.0, top_k=0)
+    jax.block_until_ready(toks)
+    log(f"decode compile+first {time.time()-t0:.1f}s")
+
+    # timed runs (same cache state each time: throughput, not correctness)
+    best = float("inf")
+    for i in range(3):
+        t0 = time.time()
+        toks, _ = _decode_scan(params, spec, caches, first, key,
+                               steps=steps, temperature=0.0, top_k=0)
+        jax.block_until_ready(toks)
+        dt = time.time() - t0
+        best = min(best, dt)
+        log(f"run {i}: {dt*1e3:.1f} ms for {steps} steps x batch {B}")
+
+    tokens_per_s = B * steps / best
+
+    # roofline: every decode step reads all weights once + the live KV slab
+    kv_bytes_per_step = 0
+    for c in caches:
+        # k and v, full allocated window read per step
+        kv_bytes_per_step += c.k.size * c.k.dtype.itemsize * 2
+    dev_kind = jax.devices()[0].device_kind
+    bw = HBM_GBPS.get(dev_kind, 50.0 if not on_tpu else 819.0) * 1e9
+    bytes_per_step = wbytes + kv_bytes_per_step
+    roofline_tokens_s = B * bw / bytes_per_step
+    target = 0.9 * roofline_tokens_s
+    log(f"roofline {roofline_tokens_s:.0f} tok/s (bw {bw/1e9:.0f} GB/s, "
+        f"{bytes_per_step/1e9:.2f} GB/step); target(90%) {target:.0f}")
+
+    print(json.dumps({
+        "metric": f"decode_tokens_per_s_per_chip_{kind}_w4a16",
+        "value": round(tokens_per_s, 1),
+        "unit": "tok/s/chip",
+        "vs_baseline": round(tokens_per_s / target, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,43 @@
+"""Write a tiny random HF-format checkpoint for offline smoke runs.
+
+The zero-egress environment cannot download hub models; this provides a
+local model directory that the full CLI pipeline (do_oneshot → serve)
+can run against, including a MoE variant.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("out_dir")
+    p.add_argument("--moe", action="store_true")
+    p.add_argument("--hidden", type=int, default=64)
+    p.add_argument("--layers", type=int, default=2)
+    p.add_argument("--vocab", type=int, default=512)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", default="cpu",
+                   help="jax platform for weight init (default cpu)")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from ..models import ModelSpec, init_params
+    from ..models.loader import save_hf_model
+
+    spec = ModelSpec.tiny(moe=args.moe, hidden_size=args.hidden,
+                          num_layers=args.layers, vocab_size=args.vocab)
+    params = init_params(spec, jax.random.PRNGKey(args.seed))
+    save_hf_model(spec, params, args.out_dir)
+    print(f"wrote tiny {'MoE ' if args.moe else ''}model to {args.out_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -183,6 +183,27 @@ def iter_model_linears(spec: ModelSpec, params: Dict[str, Any]):
         yield "lm_head", params["lm_head"]
 
 
+def save_hf_model(spec: ModelSpec, params: Dict[str, Any], out_dir: Union[str, Path],
+                  max_shard_bytes: int = 5 * 1024**3) -> None:
+    """Write params as a plain HF-format bf16 safetensors checkpoint."""
+    import ml_dtypes
+
+    from ..formats.safetensors_io import ShardedWriter, dump_json
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    tensors = model_plain_tensors(spec, params)
+    for prefix, lin in iter_model_linears(spec, params):
+        tensors[f"{prefix}.weight"] = np.asarray(
+            lin.dequantize(), dtype=ml_dtypes.bfloat16).T
+        if lin.bias is not None:
+            tensors[f"{prefix}.bias"] = np.asarray(lin.bias, dtype=ml_dtypes.bfloat16)
+    w = ShardedWriter(out, max_shard_bytes=max_shard_bytes)
+    w.add_many(tensors)
+    w.finalize(metadata={"format": "pt"})
+    dump_json(spec.to_hf_config(), out / "config.json")
+
+
 def model_plain_tensors(spec: ModelSpec, params: Dict[str, Any]) -> Dict[str, np.ndarray]:
     """All non-linear tensors under their HF names (for checkpoint writing)."""
     out: Dict[str, np.ndarray] = {

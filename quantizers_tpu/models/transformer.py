@@ -272,7 +272,7 @@ def _rand_linear(key: jax.Array, n: int, k: int, dtype=jnp.bfloat16,
 def init_params(spec: ModelSpec, key: Optional[jax.Array] = None,
                 dtype=jnp.bfloat16) -> Dict[str, Any]:
     key = key if key is not None else jax.random.PRNGKey(0)
-    n_keys = 4 + spec.num_layers * 16
+    n_keys = 8 + spec.num_layers * (8 + 3 * max(spec.num_experts, 1))
     ks = iter(jax.random.split(key, n_keys))
     D, Ff = spec.hidden_size, spec.intermediate_size
     layers: List[Dict[str, Any]] = []

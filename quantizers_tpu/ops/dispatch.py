@@ -18,7 +18,8 @@ _KERNEL_KINDS = {"w4", "w8", "nvfp4", "fp8"}
 
 def _on_tpu() -> bool:
     try:
-        return jax.default_backend() == "tpu"
+        # "axon" is a tunneled TPU PJRT plugin (device_kind "TPU v5 lite")
+        return jax.default_backend() in ("tpu", "axon")
     except Exception:
         return False
 
