@@ -101,15 +101,41 @@ def _module_prefixes(keys: List[str]) -> Dict[str, List[str]]:
     return groups
 
 
-def _scheme_for(prefix: str, groups: Dict[str, QuantScheme], ignore: List[str]) -> Optional[QuantScheme]:
+def _scheme_for(prefix: str, groups: Dict[str, QuantScheme], ignore: List[str],
+                stored: Optional[List[str]] = None) -> Optional[QuantScheme]:
+    """Resolve the scheme for a module. In mixed-precision checkpoints
+    several groups may target the same module type (reference
+    ``recombine_weights_MiniMax-M2.1.py:75-138`` merges FP8 + INT4 groups),
+    so when the on-disk parameter names are known the candidates are
+    filtered by *consistency with what is actually stored*."""
     from ..core.scheme import is_ignored, match_targets
 
     if is_ignored(prefix, ignore):
         return None
-    for scheme in groups.values():
-        if match_targets(prefix, "Linear", list(scheme.targets)):
-            return scheme
-    return None
+    candidates = [s for s in groups.values()
+                  if match_targets(prefix, "Linear", list(s.targets))]
+    if not candidates:
+        return None
+    if stored and len(candidates) > 1:
+        consistent = [s for s in candidates
+                      if s.weights is not None and _args_match_stored(s.weights, prefix, stored)]
+        if consistent:
+            return consistent[0]
+    return candidates[0]
+
+
+def _args_match_stored(args: QuantizationArgs, prefix: str, stored: List[str]) -> bool:
+    from ..core.scheme import QuantType
+
+    names = set(stored)
+    packed = f"{prefix}.weight_packed" in names
+    global_scale = f"{prefix}.weight_global_scale" in names
+    if args.type == QuantType.FLOAT and args.num_bits == 4:
+        return packed and global_scale
+    if args.type == QuantType.INT and args.num_bits < 8:
+        return packed and not global_scale
+    # 8-bit float/int: stored as plain `.weight` + `.weight_scale`
+    return not packed
 
 
 class CompressedModelReader:
@@ -134,13 +160,18 @@ class CompressedModelReader:
         return [k for k in self.reader.keys() if k not in quant_keys]
 
     def scheme_for(self, prefix: str) -> Optional[QuantScheme]:
-        return _scheme_for(prefix, self.config_groups, self.ignore)
+        return _scheme_for(prefix, self.config_groups, self.ignore,
+                           stored=self._quant_prefixes.get(prefix))
 
     def load_quantized(self, prefix: str) -> Tuple[QuantizedTensor, QuantizationArgs]:
         scheme = self.scheme_for(prefix)
         if scheme is None or scheme.weights is None:
             raise KeyError(f"No quantization scheme matches module {prefix}")
         tensors = {k: self.reader.get(k) for k in self._quant_prefixes[prefix]}
+        # float-/int-quantized payloads live under plain `.weight`
+        wkey = f"{prefix}.weight"
+        if wkey in self.reader:
+            tensors[wkey] = self.reader.get(wkey)
         qt = decompress_tensor(prefix, tensors, scheme.weights)
         return qt, scheme.weights
 

@@ -74,14 +74,16 @@ def _w4_kernel(x_lo, x_hi, w_ref, s_lo, s_hi, o_ref, acc, *, g: int, bk2: int, n
     def _zero():
         acc[:] = jnp.zeros_like(acc)
 
-    packed = w_ref[:]
-    lo = (packed & 0x0F).astype(jnp.int8) - 8
-    hi = ((packed >> 4) & 0x0F).astype(jnp.int8) - 8
+    # widen to i32 before any arithmetic: Mosaic (v5e) legalizes neither
+    # vector<i8> subtraction nor direct u8->f32 casts
+    packed = w_ref[:].astype(jnp.int32)
+    lo = (packed & 0x0F).astype(jnp.float32) - 8.0
+    hi = ((packed >> 4) & 0x0F).astype(jnp.float32) - 8.0
 
-    def plane(vals_i8, s_ref):
+    def plane(vals_f32, s_ref):
         scale = s_ref[:].astype(jnp.float32)  # (bk2//g, BN)
         reps = bk2 // g
-        w = vals_i8.astype(jnp.float32).reshape(reps, g, -1) * scale[:, None, :]
+        w = vals_f32.reshape(reps, g, -1) * scale[:, None, :]
         return w.reshape(bk2, -1).astype(jnp.bfloat16)
 
     acc[:] += jnp.dot(x_lo[:], plane(lo, s_lo), preferred_element_type=jnp.float32)

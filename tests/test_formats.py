@@ -272,3 +272,47 @@ class TestCheckpointRoundtrip:
         with CompressedModelReader(tmp_path) as reader:
             assert reader.scheme_for("lm_head") is None
             assert reader.scheme_for("model.fc") is not None
+
+
+class TestMixedPrecisionReader:
+    """Mixed checkpoints: two groups both targeting Linear must resolve by
+    what is actually stored on disk (fp8 float-quantized vs int4 pack)."""
+
+    def test_scheme_disambiguation_by_stored_params(self, tmp_path):
+        import numpy as np
+        import jax.numpy as jnp
+
+        from quantizers_tpu.core.numerics import quantize
+        from quantizers_tpu.core.scheme import QuantScheme, QuantizationArgs, QuantStrategy, QuantType
+        from quantizers_tpu.formats.checkpoint import (
+            CompressedModelReader,
+            CompressedParam,
+            save_compressed_model,
+        )
+
+        fp8 = QuantScheme(targets=("Linear",), weights=QuantizationArgs(
+            num_bits=8, type=QuantType.FLOAT, strategy=QuantStrategy.CHANNEL))
+        w4 = QuantScheme(targets=("Linear",), weights=QuantizationArgs(
+            num_bits=4, type=QuantType.INT, symmetric=True,
+            strategy=QuantStrategy.GROUP, group_size=32))
+
+        rng = np.random.default_rng(0)
+        wa = jnp.asarray(rng.normal(size=(16, 64)).astype(np.float32))
+        wb = jnp.asarray(rng.normal(size=(16, 64)).astype(np.float32))
+        quant = {
+            "model.layers.0.self_attn.q_proj": CompressedParam(
+                qt=quantize(wa, fp8.weights), args=fp8.weights, group="group_0"),
+            "model.layers.0.mlp.down_proj": CompressedParam(
+                qt=quantize(wb, w4.weights), args=w4.weights, group="group_1"),
+        }
+        save_compressed_model(
+            tmp_path, {}, quant,
+            config_groups={"group_0": fp8, "group_1": w4}, ignore=["lm_head"])
+
+        with CompressedModelReader(tmp_path) as r:
+            qt_a, args_a = r.load_quantized("model.layers.0.self_attn.q_proj")
+            qt_b, args_b = r.load_quantized("model.layers.0.mlp.down_proj")
+            assert args_a.type.value == "float" and args_a.num_bits == 8
+            assert args_b.type.value == "int" and args_b.num_bits == 4
+            np.testing.assert_allclose(
+                np.asarray(qt_b.values), np.asarray(quant["model.layers.0.mlp.down_proj"].qt.values))
