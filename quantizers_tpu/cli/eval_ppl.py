@@ -1,0 +1,94 @@
+"""Perplexity evaluation CLI — the BASELINE.md quality metric
+(wikitext PPL Δ vs FP16 at equal bit-width).
+
+Evaluates a checkpoint (plain HF or compressed-tensors) on a local text
+file (e.g. wikitext test split exported to .txt) with a sliding window,
+mirroring the standard wikitext PPL protocol. Compare two checkpoints by
+running twice and differencing.
+
+    python -m quantizers_tpu.cli.eval_ppl <ckpt_dir> <text_file> \
+        [--window 2048] [--stride 2048] [--platform cpu] [--max-windows N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+from pathlib import Path
+
+logger = logging.getLogger("quantizers_tpu.eval_ppl")
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("ckpt_dir")
+    p.add_argument("text_file")
+    p.add_argument("--window", type=int, default=2048)
+    p.add_argument("--stride", type=int, default=2048)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--max-windows", type=int, default=None)
+    p.add_argument("--platform", default=None)
+    args = p.parse_args(argv)
+    logging.basicConfig(level=logging.INFO, force=True)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    import numpy as np
+
+    from ..data.simple_tokenizer import load_tokenizer
+    from ..models import load_compressed_model, load_hf_model
+    from ..serve import perplexity
+
+    ckpt = Path(args.ckpt_dir)
+    import json
+
+    cfg = json.loads((ckpt / "config.json").read_text())
+    t0 = time.time()
+    if cfg.get("quantization_config"):
+        spec, params = load_compressed_model(ckpt)
+    else:
+        spec, params = load_hf_model(ckpt)
+    logger.info("loaded %s in %.1fs", ckpt, time.time() - t0)
+
+    tokenizer = load_tokenizer(str(ckpt))
+    text = Path(args.text_file).read_text()
+    enc = tokenizer(text, truncation=False)
+    ids = np.asarray(enc["input_ids"], dtype=np.int32)
+    logger.info("tokenized %d chars -> %d tokens", len(text), len(ids))
+
+    windows = []
+    for start in range(0, max(1, len(ids) - 1), args.stride):
+        w = ids[start : start + args.window]
+        if len(w) < 2:
+            break
+        windows.append(w)
+        if args.max_windows and len(windows) >= args.max_windows:
+            break
+
+    batches = []
+    for i in range(0, len(windows), args.batch_size):
+        chunk = windows[i : i + args.batch_size]
+        T = max(len(w) for w in chunk)
+        b = np.zeros((len(chunk), T), np.int32)
+        m = np.zeros((len(chunk), T), np.float32)
+        for j, w in enumerate(chunk):
+            b[j, : len(w)] = w
+            m[j, : len(w)] = 1.0
+        batches.append((b, m))
+
+    t0 = time.time()
+    ppl = perplexity(spec, params, batches)
+    dt = time.time() - t0
+    n_tok = sum(int(m.sum()) for _, m in batches)
+    print(f"ppl={ppl:.4f} tokens={n_tok} windows={len(windows)} "
+          f"eval_s={dt:.1f} tok/s={n_tok/dt:.0f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

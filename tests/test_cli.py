@@ -1,0 +1,113 @@
+"""CLI smoke tests — in-process main() invocations (offline, CPU).
+
+Mirrors the reference's L1 surface (``scripts/do_oneshot.py`` args/flow)
+plus the tool scripts (model_free / recombine / config debug)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from quantizers_tpu.cli import (  # noqa: F401  (import check)
+    do_oneshot as do_oneshot_mod,
+)
+from quantizers_tpu.cli.do_oneshot import main as do_oneshot_main
+from quantizers_tpu.cli.eval_ppl import main as eval_ppl_main
+from quantizers_tpu.cli.make_tiny_model import main as make_tiny_main
+from quantizers_tpu.cli.model_free import main as model_free_main
+from quantizers_tpu.cli.recombine import main as recombine_main
+from quantizers_tpu.cli.validate_config import main as validate_main
+
+
+@pytest.fixture(scope="module")
+def tiny_model_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tiny_model")
+    assert make_tiny_main([str(d), "--vocab", "300", "--platform", ""]) == 0
+    return d
+
+
+@pytest.fixture(scope="module")
+def repo_root():
+    return Path(__file__).resolve().parent.parent
+
+
+class TestDoOneshot:
+    def test_full_run(self, tiny_model_dir, tmp_path, repo_root):
+        run_cfg = tmp_path / "run.yaml"
+        run_cfg.write_text(f"""
+model:
+  name: {tiny_model_dir}
+quantization:
+  recipe: {repo_root}/configs/recipes/recipe_awq_w4a16.yaml
+calibration_set: {repo_root}/configs/calibration_sets/test-calibrate_quick.yaml
+""")
+        out = tmp_path / "out"
+        rc = do_oneshot_main([
+            "--config", str(run_cfg), "--output", str(out),
+            "--cache-dir", str(tmp_path / "cache"),
+            "--max-seq-length", "64",
+        ])
+        assert rc == 0
+        cfg = json.loads((out / "config.json").read_text())
+        assert cfg["quantization_config"]["config_groups"]
+        assert validate_main([str(out)]) == 0
+
+        # quantized model loads and evals
+        sample = tmp_path / "sample.txt"
+        sample.write_text("hello quantized world " * 200)
+        assert eval_ppl_main([str(out), str(sample), "--window", "128",
+                              "--max-windows", "2"]) == 0
+
+    def test_missing_model_dir_errors(self, tmp_path, repo_root):
+        run_cfg = tmp_path / "run.yaml"
+        run_cfg.write_text(f"""
+model:
+  name: Qwen/NotDownloaded-4B
+quantization:
+  recipe: {repo_root}/configs/recipes/recipe_awq_w4a16.yaml
+""")
+        assert do_oneshot_main(["--config", str(run_cfg)]) == 2
+
+
+class TestModelFreeAndRecombine:
+    def test_model_free_then_recombine(self, tiny_model_dir, tmp_path):
+        fp8 = tmp_path / "fp8"
+        assert model_free_main([str(tiny_model_dir), str(fp8)]) == 0
+        assert validate_main([str(fp8)]) == 0
+
+        # second variant: int4 via model_free with W4A16 scheme
+        w4 = tmp_path / "w4"
+        assert model_free_main([str(tiny_model_dir), str(w4),
+                                "--scheme", "W4A16_G32"]) == 0
+
+        hybrid = tmp_path / "hybrid"
+        rc = recombine_main([str(fp8), str(w4), str(hybrid),
+                             "--swap-pattern", r".*mlp\.(gate|up|down)_proj$"])
+        assert rc == 0
+        qcfg = json.loads((hybrid / "config.json").read_text())["quantization_config"]
+        assert qcfg["format"] == "mixed-precision"
+        assert len(qcfg["config_groups"]) == 2
+
+        # hybrid loads: swapped modules resolve to int4 by stored params
+        from quantizers_tpu.formats.checkpoint import CompressedModelReader
+
+        with CompressedModelReader(hybrid) as r:
+            qt, args = r.load_quantized("model.layers.0.mlp.down_proj")
+            assert args.num_bits == 4
+            qt2, args2 = r.load_quantized("model.layers.0.self_attn.q_proj")
+            assert args2.num_bits == 8
+
+    def test_recombine_dry_run_writes_nothing(self, tiny_model_dir, tmp_path):
+        fp8 = tmp_path / "fp8b"
+        assert model_free_main([str(tiny_model_dir), str(fp8)]) == 0
+        out = tmp_path / "never"
+        rc = recombine_main([str(fp8), str(fp8), str(out), "--dry-run"])
+        assert rc == 0
+        assert not out.exists()
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(pytest.main([__file__, "-v"]))
