@@ -62,16 +62,24 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 
 class KVCache(NamedTuple):
-    """Per-layer KV cache, (B, S_max, n_kv, head_dim); plus fill length.
+    """Per-layer KV cache, (B, S_max, n_kv, head_dim); ``length`` holds
+    **per-row** fill lengths (B,) so rows decode at independent positions —
+    the substrate for continuous batching.
 
     ``k_scale``/``v_scale`` support the FP8 KV-cache scheme
     (reference ``main_seed-oss-fp8-kv8.py:168-202``): when set, k/v are
     stored as float8_e4m3fn and dequantized on read.
+
+    Garbage-slot invariant: right-padded prefill writes junk at slots
+    ``[len_row, T_pad)``, but every later decode step writes its token at
+    exactly ``length`` before attention ever admits that position
+    (``kv_pos <= q_pos``), so junk is always overwritten before it becomes
+    visible.
     """
 
     k: jax.Array
     v: jax.Array
-    length: jax.Array  # () int32
+    length: jax.Array  # (B,) int32 per-row fill lengths
     k_scale: Optional[jax.Array] = None
     v_scale: Optional[jax.Array] = None
 
@@ -86,7 +94,7 @@ class KVCache(NamedTuple):
                 caches.append(cls(
                     k=jnp.zeros(shape, jnp.float8_e4m3fn),
                     v=jnp.zeros(shape, jnp.float8_e4m3fn),
-                    length=jnp.zeros((), jnp.int32),
+                    length=jnp.zeros((batch,), jnp.int32),
                     k_scale=jnp.asarray(k_scale, jnp.float32),
                     v_scale=jnp.asarray(v_scale, jnp.float32),
                 ))
@@ -94,25 +102,27 @@ class KVCache(NamedTuple):
                 caches.append(cls(
                     k=jnp.zeros(shape, dtype),
                     v=jnp.zeros(shape, dtype),
-                    length=jnp.zeros((), jnp.int32),
+                    length=jnp.zeros((batch,), jnp.int32),
                 ))
         return caches
 
 
-def _store(cache_arr: jax.Array, new: jax.Array, offset: jax.Array,
+def _store(cache_arr: jax.Array, new: jax.Array, offsets: jax.Array,
            scale: Optional[jax.Array]) -> jax.Array:
+    """Write new (B, T, KV, hd) at per-row offsets (B,)."""
     if scale is not None:
         new = (new.astype(jnp.float32) / scale).astype(cache_arr.dtype)
     else:
         new = new.astype(cache_arr.dtype)
-    return jax.lax.dynamic_update_slice(cache_arr, new, (0, offset, 0, 0))
+    return jax.vmap(
+        lambda c, n, off: jax.lax.dynamic_update_slice(c, n, (off, 0, 0))
+    )(cache_arr, new, offsets)
 
 
 def _read(cache_arr: jax.Array, scale: Optional[jax.Array], dtype) -> jax.Array:
-    x = cache_arr.astype(jnp.float32)
-    if scale is not None:
-        x = x * scale
-    return x.astype(dtype)
+    if scale is None:
+        return cache_arr if cache_arr.dtype == dtype else cache_arr.astype(dtype)
+    return (cache_arr.astype(jnp.float32) * scale).astype(dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -157,17 +167,17 @@ def attention(layer: Dict[str, Any], spec: ModelSpec, x: jax.Array,
         idx = jnp.arange(T)
         mask = (idx[None, :, None] >= idx[None, None, :])  # (1, T, S) causal
 
-    # GQA: repeat kv heads.
+    # GQA without materializing repeated KV: fold the head-group axis into
+    # the query side (a jnp.repeat here would stream rep× the KV cache out
+    # of HBM every decode step — the dominant cost at small batch).
     rep = H // KV
-    k_att = jnp.repeat(k_att, rep, axis=2)
-    v_att = jnp.repeat(v_att, rep, axis=2)
-
-    scores = jnp.einsum("bthd,bshd->bhts", q, k_att,
+    qg = q.reshape(B, T, KV, rep, hd)
+    scores = jnp.einsum("btkrd,bskd->bkrts", qg, k_att,
                         preferred_element_type=jnp.float32)
     scores = scores * (1.0 / np.sqrt(hd))
-    scores = jnp.where(mask[:, None, :, :], scores, -1e30)
+    scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    ctx = jnp.einsum("bhts,bshd->bthd", probs, v_att)
+    ctx = jnp.einsum("bkrts,bskd->btkrd", probs, v_att)
     ctx = ctx.reshape(B, T, H * hd)
 
     if capture is not None:
@@ -243,8 +253,7 @@ def forward(params: Dict[str, Any], spec: ModelSpec, input_ids: jax.Array,
     B, T = input_ids.shape
     if positions is None:
         if caches is not None:
-            positions = caches[0].length + jnp.arange(T)[None, :]
-            positions = jnp.broadcast_to(positions, (B, T))
+            positions = caches[0].length[:, None] + jnp.arange(T)[None, :]
         else:
             positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
     x = embed(params, input_ids)

@@ -123,3 +123,45 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-v"]))
+
+
+class TestContinuousBatching:
+    def test_matches_generate_oracle(self, model):
+        """Per-request continuations under continuous batching (with slot
+        recycling) must equal standalone greedy generation."""
+        from quantizers_tpu.serve.session import ContinuousBatcher
+
+        spec, params = model
+        s = ContinuousBatcher(spec, params, max_batch=2, max_len=64,
+                              prefill_buckets=(8, 16))
+        reqs = [([1, 2, 3, 4], 6), ([9, 8, 7], 5), ([5, 5, 5, 5, 5, 5], 4)]
+        rids = [s.submit(p, n) for p, n in reqs]
+        res = s.run()
+        for rid, (p, n) in zip(rids, reqs):
+            ref = generate(spec, params, np.asarray([p], np.int32),
+                           max_new_tokens=n)[0].tolist()
+            assert res[rid] == ref
+
+    def test_eos_stops_early(self, model):
+        from quantizers_tpu.serve.session import ContinuousBatcher
+
+        spec, params = model
+        probe = ContinuousBatcher(spec, params, max_batch=1, max_len=64)
+        rid = probe.submit([1, 2, 3], max_new_tokens=8)
+        full = probe.run()[rid]
+        eos = full[2]
+        s = ContinuousBatcher(spec, params, max_batch=1, max_len=64,
+                              eos_ids=[eos])
+        rid = s.submit([1, 2, 3], max_new_tokens=8)
+        out = s.run()[rid]
+        assert out == full[:3]
+
+    def test_submit_validation(self, model):
+        from quantizers_tpu.serve.session import ContinuousBatcher
+
+        spec, params = model
+        s = ContinuousBatcher(spec, params, max_batch=1, max_len=16)
+        with pytest.raises(ValueError):
+            s.submit([], 4)
+        with pytest.raises(ValueError):
+            s.submit(list(range(20)), 4)
