@@ -202,8 +202,11 @@ def quantize(
         return QuantizedTensor(q, scale, None, global_scale, orig_shape)
 
     if scale is None:
-        mn, mx = minmax_along(w, args)
-        scale, zero_point = compute_scale_zp(mn, mx, args)
+        if args.observer and "mse" in args.observer:
+            scale, zero_point = _mse_scale_zp(w, args)
+        else:
+            mn, mx = minmax_along(w, args)
+            scale, zero_point = compute_scale_zp(mn, mx, args)
 
     if s == QuantStrategy.TENSOR:
         x = w / scale
@@ -270,6 +273,46 @@ def dequantize(qt: QuantizedTensor, args: QuantizationArgs) -> jax.Array:
         w = w.transpose(0, 2, 1, 3).reshape(nbr * brr, nbc * bcc)
         return w[: qt.shape[0], : qt.shape[1]]
     raise ValueError(f"unsupported strategy {s}")
+
+
+def _reduce_err_to_scale(err: jax.Array, args: QuantizationArgs) -> jax.Array:
+    """Sum a per-element error tensor down to the scale grid's shape."""
+    s = args.strategy
+    if s == QuantStrategy.TENSOR:
+        return jnp.sum(err)
+    if s in (QuantStrategy.CHANNEL, QuantStrategy.TOKEN):
+        return jnp.sum(err, axis=-1, keepdims=True)
+    if s == QuantStrategy.GROUP:
+        return jnp.sum(_grouped(err, int(args.group_size)), axis=-1)
+    if s == QuantStrategy.BLOCK:
+        return jnp.sum(_blocked(err, tuple(args.block_structure)), axis=(-1, -2))
+    raise ValueError(f"mse observer unsupported for strategy {s}")
+
+
+def _mse_scale_zp(w: jax.Array, args: QuantizationArgs,
+                  num_grid: int = 12, shrink_min: float = 0.4
+                  ) -> Tuple[jax.Array, jax.Array]:
+    """Data-aware MSE observer: per scale cell, pick the clip ratio on the
+    minmax envelope minimizing the actual quantization error (the
+    `observer: mse` option of the reference's recipe dialect)."""
+    mn0, mx0 = minmax_along(w, args)
+    best_scale = best_zp = None
+    best_err = None
+    for i in range(num_grid):
+        r = shrink_min + (1.0 - shrink_min) * (i + 1) / num_grid
+        s_i, zp_i = compute_scale_zp(mn0 * r, mx0 * r, args)
+        qt = quantize(w, args, scale=s_i,
+                      zero_point=None if args.symmetric else zp_i)
+        deq = dequantize(qt, args)
+        err = _reduce_err_to_scale((deq - w.astype(jnp.float32)) ** 2, args)
+        if best_err is None:
+            best_scale, best_zp, best_err = s_i, zp_i, err
+        else:
+            better = err < best_err
+            best_scale = jnp.where(better, s_i, best_scale)
+            best_zp = jnp.where(better, zp_i, best_zp)
+            best_err = jnp.minimum(err, best_err)
+    return best_scale, best_zp
 
 
 def fake_quantize(

@@ -149,6 +149,11 @@ def attention(layer: Dict[str, Any], spec: ModelSpec, x: jax.Array,
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
+    if capture is not None:
+        # post-RoPE K and V — what an FP8 KV cache would store
+        capture["k_cache"] = k
+        capture["v_cache"] = v
+
     if cache is not None:
         off = cache.length
         k_all = _store(cache.k, k, off, cache.k_scale)

@@ -45,12 +45,14 @@ def _build_modifier(spec: ModifierSpec) -> Modifier:
     from .awq import AWQModifier
     from .gptq import GPTQModifier
     from .autoround import AutoRoundModifier
+    from .smoothquant import SmoothQuantModifier
 
     table = {
         "QuantizationModifier": RTNModifier,
         "AWQModifier": AWQModifier,
         "GPTQModifier": GPTQModifier,
         "AutoRoundModifier": AutoRoundModifier,
+        "SmoothQuantModifier": SmoothQuantModifier,
     }
     cls = table.get(spec.name)
     if cls is None:
@@ -161,16 +163,26 @@ def oneshot(
     records: Dict[str, CompressedParam] = {}
     extra_tensors: Dict[str, np.ndarray] = {}
 
-    propagate_fns: Dict[Tuple[int, Tuple[int, int]], Any] = {}
+    # FP8 KV-cache calibration (reference `main_seed-oss-fp8-kv8.py:168-202`):
+    # track per-layer k/v absmax during the capture pass, emit k_scale/v_scale.
+    kv_scheme = recipe.kv_cache_scheme()
+    kv_absmax: Dict[int, Tuple[float, float]] = {
+        i: (0.0, 0.0) for i in range(len(params["layers"]))}
 
     for li, layer in enumerate(params["layers"]):
         t_layer = time.time()
         sites = layer_sites(spec, li, layer)
 
-        # which modifier owns which site (first match in recipe order wins)
+        # which modifier owns which site (first match in recipe order wins);
+        # transform-only modifiers (SmoothQuant) observe every site but
+        # never claim ownership — their paired quantizer compresses.
         owned: List[Tuple[Modifier, LinearSite, str, QuantScheme]] = []
+        observe_only: List[Tuple[Modifier, LinearSite, str, Optional[QuantScheme]]] = []
         taken: set = set()
         for mod in modifiers:
+            if mod.transforms_only:
+                observe_only.extend((mod, site, "", None) for site in sites)
+                continue
             for site in sites:
                 if site.prefix in taken:
                     continue
@@ -183,10 +195,10 @@ def oneshot(
 
         ctx = LayerCtx(spec=spec, layer_idx=li, layer=layer, sites=sites)
         per_mod: Dict[int, List[Tuple[LinearSite, str, QuantScheme]]] = {}
-        for mod, site, gname, scheme in owned:
+        for mod, site, gname, scheme in owned + observe_only:
             per_mod.setdefault(id(mod), []).append((site, gname, scheme))
         states: Dict[int, Any] = {}
-        want_capture = False
+        want_capture = kv_scheme is not None
         for mod in modifiers:
             matched = per_mod.get(id(mod), [])
             if not matched:
@@ -195,7 +207,7 @@ def oneshot(
             want_capture = want_capture or mod.wants_capture_for(matched)
 
         # ---- capture pass -------------------------------------------------
-        if owned and want_capture and batches:
+        if (owned or observe_only or kv_scheme is not None) and want_capture and batches:
             cap_fn = jax.jit(
                 lambda lyr, h, pos: _capture_layer(lyr, spec, li, h, pos,
                                                    moe_calibrate_all_experts),
@@ -203,10 +215,15 @@ def oneshot(
             )
             for h, pos, mask in zip(hiddens, positions, masks):
                 _, cap = cap_fn(layer, h, pos)
-                for mod, site, gname, scheme in owned:
+                for mod, site, gname, scheme in observe_only + owned:
                     x_in = cap.get(site.capture_key)
                     if x_in is not None:
                         mod.observe(states[id(mod)], site, x_in, mask, cap)
+                if kv_scheme is not None:
+                    kmax = float(jnp.max(jnp.abs(cap["k_cache"].astype(jnp.float32))))
+                    vmax = float(jnp.max(jnp.abs(cap["v_cache"].astype(jnp.float32))))
+                    kv_absmax[li] = (max(kv_absmax[li][0], kmax),
+                                     max(kv_absmax[li][1], vmax))
 
         # ---- layer-level transforms (AWQ smoothing), then compress ---------
         for mod in modifiers:
@@ -228,6 +245,15 @@ def oneshot(
         if owned:
             logger.info("layer %d: %d sites compressed in %.1fs", li, len(owned),
                         time.time() - t_layer)
+
+    if kv_scheme is not None and batches:
+        divisor = kv_scheme.scale_divisor
+        for li, (kmax, vmax) in kv_absmax.items():
+            p = f"model.layers.{li}.self_attn"
+            extra_tensors[f"{p}.k_scale"] = np.asarray(
+                [max(kmax / divisor, 1e-10)], np.float32)
+            extra_tensors[f"{p}.v_scale"] = np.asarray(
+                [max(vmax / divisor, 1e-10)], np.float32)
 
     # lm_head (rarely targeted; reference recipes ignore it)
     stats = {"total_s": time.time() - t0}

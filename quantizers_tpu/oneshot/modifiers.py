@@ -146,6 +146,10 @@ class Modifier:
 
     name = "Modifier"
     needs_capture = False
+    #: transform-only modifiers (SmoothQuant) fold scales into weights but
+    #: never claim sites for compression — a paired quantization modifier
+    #: owns that.
+    transforms_only = False
 
     def __init__(self, spec: ModifierSpec) -> None:
         self.spec = spec
@@ -156,12 +160,13 @@ class Modifier:
         """matched: (site, group_name, scheme) triples this modifier owns."""
         state: Dict[str, Any] = {"act_obs": {}}
         for site, _, scheme in matched:
-            if needs_static_act(scheme):
+            if scheme is not None and needs_static_act(scheme):
                 state["act_obs"][site.prefix] = ActScaleObserver()
         return state
 
     def wants_capture_for(self, matched) -> bool:
-        return self.needs_capture or any(needs_static_act(s) for _, _, s in matched)
+        return self.needs_capture or any(
+            s is not None and needs_static_act(s) for _, _, s in matched)
 
     def observe(self, state: Any, site: LinearSite, x_in: jnp.ndarray,
                 mask: Optional[jnp.ndarray], capture: Dict[str, jnp.ndarray]) -> None:

@@ -290,3 +290,69 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-v"]))
+
+
+class TestMSEObserver:
+    def test_mse_beats_minmax_with_outlier(self):
+        """A single huge outlier blows up the minmax scale; MSE clips it."""
+        rng = np.random.default_rng(11)
+        W = rng.normal(size=(8, 64)).astype(np.float32)
+        W[0, 0] = 40.0  # outlier
+        args_mm = QuantizationArgs(num_bits=4, type=QuantType.INT, symmetric=True,
+                                   strategy=QuantStrategy.GROUP, group_size=64,
+                                   observer="minmax")
+        args_mse = QuantizationArgs(num_bits=4, type=QuantType.INT, symmetric=True,
+                                    strategy=QuantStrategy.GROUP, group_size=64,
+                                    observer="mse")
+        Wj = jnp.asarray(W)
+        err_mm = float(jnp.mean((fake_quantize(Wj, args_mm) - Wj) ** 2))
+        err_mse = float(jnp.mean((fake_quantize(Wj, args_mse) - Wj) ** 2))
+        assert err_mse < err_mm, (err_mse, err_mm)
+
+    def test_mse_asymmetric(self):
+        rng = np.random.default_rng(12)
+        W = jnp.asarray(rng.normal(size=(4, 32)).astype(np.float32) + 1.5)
+        args = QuantizationArgs(num_bits=4, type=QuantType.INT, symmetric=False,
+                                strategy=QuantStrategy.CHANNEL, observer="mse")
+        out = fake_quantize(W, args)
+        assert float(jnp.mean((out - W) ** 2)) < 0.05
+
+
+class TestSmoothQuant:
+    def test_smoothquant_plus_rtn(self, dense):
+        """SmoothQuant transforms, RTN compresses — forward stays close."""
+        spec, params0 = dense
+        params = _clone(params0)
+        recipe = parse_recipe({"quant_stage": {"quant_modifiers": {
+            "SmoothQuantModifier": {"smoothing_strength": 0.5},
+            "QuantizationModifier": {
+                "config_groups": {"group_0": dict(W4G32)},
+                "ignore": ["lm_head"]},
+        }}})
+        ids = jnp.array([[1, 2, 3, 4, 5, 6, 7, 8]], dtype=jnp.int32)
+        ref = _logits(spec, params0, ids)
+        res = oneshot(spec, params, recipe, _tiny_batches(spec))
+        # all sites still compressed by RTN (SmoothQuant claims none)
+        assert len(res.records) == spec.num_layers * 7
+        out = _logits(spec, res.params, ids)
+        rel = np.abs(ref - out).mean() / (np.abs(ref).mean() + 1e-9)
+        assert rel < 0.3
+
+
+class TestKVCacheCalibration:
+    def test_kv_scales_emitted(self, dense):
+        spec, params0 = dense
+        params = _clone(params0)
+        recipe = parse_recipe({"quant_stage": {"quant_modifiers": {
+            "QuantizationModifier": {
+                "config_groups": {"group_0": dict(W4G32)},
+                "ignore": ["lm_head"],
+                "kv_cache_scheme": {"num_bits": 8, "type": "float",
+                                    "strategy": "tensor", "symmetric": True},
+            }}}})
+        res = oneshot(spec, params, recipe, _tiny_batches(spec))
+        assert res.kv_cache_scheme is not None
+        for li in range(spec.num_layers):
+            k = res.extra_tensors[f"model.layers.{li}.self_attn.k_scale"]
+            v = res.extra_tensors[f"model.layers.{li}.self_attn.v_scale"]
+            assert k[0] > 0 and v[0] > 0
