@@ -35,16 +35,47 @@ class ModelSpec:
     mlp_bias: bool = False
     # Qwen3-style per-head RMSNorm on Q/K.
     qk_norm: bool = False
+    # --- MLA (DeepSeek-V2/V3 / GLM-Flash / MiniMax family) ---
+    # kv_lora_rank > 0 switches the attention block to MLA: low-rank
+    # compressed KV + decoupled RoPE head (the projections the reference's
+    # data-free script keeps high-precision, `quant_GLM-4.7-Flash-FP8.py:15-22`)
+    q_lora_rank: int = 0
+    kv_lora_rank: int = 0
+    qk_rope_head_dim: int = 0
+    qk_nope_head_dim: int = 0
+    v_head_dim: int = 0
     # --- MoE (qwen3_moe-style); num_experts == 0 means dense ---
     num_experts: int = 0
     num_experts_per_tok: int = 0
     moe_intermediate_size: int = 0
     norm_topk_prob: bool = True
+    # DeepSeek-style extras: always-on shared experts + sigmoid scoring
+    # with a learned correction bias and routed scaling
+    num_shared_experts: int = 0
+    scoring_func: str = "softmax"  # softmax | sigmoid
+    routed_scaling_factor: float = 1.0
     # layers whose MLP is dense even in an MoE model (qwen3_moe's
-    # `mlp_only_layers` / `decoder_sparse_step`)
+    # `mlp_only_layers` / `decoder_sparse_step`; deepseek's
+    # `first_k_dense_replace` maps onto mlp_only_layers)
     decoder_sparse_step: int = 1
     mlp_only_layers: tuple = ()
     model_type: str = "qwen3"
+
+    @property
+    def is_mla(self) -> bool:
+        return self.kv_lora_rank > 0
+
+    @property
+    def qk_head_dim(self) -> int:
+        return (self.qk_nope_head_dim + self.qk_rope_head_dim) if self.is_mla else self.head_dim
+
+    def kv_cache_dims(self):
+        """((heads_k, hd_k), (heads_v, hd_v)) of the decode cache."""
+        if self.is_mla:
+            return ((self.num_heads, self.qk_head_dim),
+                    (self.num_heads, self.v_head_dim or self.head_dim))
+        return ((self.num_kv_heads, self.head_dim),
+                (self.num_kv_heads, self.head_dim))
 
     @property
     def is_moe(self) -> bool:
@@ -85,6 +116,9 @@ class ModelSpec:
         head_dim = int(cfg.get("head_dim") or hidden // heads)
         moe = "moe" in model_type or cfg.get("num_experts") or cfg.get("n_routed_experts")
         num_experts = int(cfg.get("num_experts") or cfg.get("n_routed_experts") or 0) if moe else 0
+        kv_lora = int(cfg.get("kv_lora_rank") or 0)
+        first_dense = int(cfg.get("first_k_dense_replace") or 0)
+        mlp_only = tuple(cfg.get("mlp_only_layers") or range(first_dense))
 
         return cls(
             vocab_size=int(cfg["vocab_size"]),
@@ -100,12 +134,20 @@ class ModelSpec:
             tie_word_embeddings=bool(cfg.get("tie_word_embeddings", False)),
             attention_bias=bool(cfg.get("attention_bias", model_type.startswith("qwen2"))),
             qk_norm=model_type.startswith("qwen3"),
+            q_lora_rank=int(cfg.get("q_lora_rank") or 0),
+            kv_lora_rank=kv_lora,
+            qk_rope_head_dim=int(cfg.get("qk_rope_head_dim") or 0),
+            qk_nope_head_dim=int(cfg.get("qk_nope_head_dim") or 0),
+            v_head_dim=int(cfg.get("v_head_dim") or 0),
             num_experts=num_experts,
             num_experts_per_tok=int(cfg.get("num_experts_per_tok") or cfg.get("top_k") or 0),
             moe_intermediate_size=int(cfg.get("moe_intermediate_size") or 0),
             norm_topk_prob=bool(cfg.get("norm_topk_prob", True)),
+            num_shared_experts=int(cfg.get("n_shared_experts") or 0),
+            scoring_func=str(cfg.get("scoring_func", "softmax")),
+            routed_scaling_factor=float(cfg.get("routed_scaling_factor", 1.0)),
             decoder_sparse_step=int(cfg.get("decoder_sparse_step", 1)),
-            mlp_only_layers=tuple(cfg.get("mlp_only_layers") or ()),
+            mlp_only_layers=mlp_only,
             model_type=model_type,
         )
 
@@ -115,7 +157,9 @@ class ModelSpec:
         cfg: Dict[str, Any] = {
             "model_type": self.model_type,
             "architectures": [
-                {"qwen3": "Qwen3ForCausalLM", "qwen3_moe": "Qwen3MoeForCausalLM"}.get(
+                {"qwen3": "Qwen3ForCausalLM", "qwen3_moe": "Qwen3MoeForCausalLM",
+                 "deepseek_v2": "DeepseekV2ForCausalLM",
+                 "deepseek_v3": "DeepseekV3ForCausalLM"}.get(
                     self.model_type, "LlamaForCausalLM")
             ],
             "vocab_size": self.vocab_size,
@@ -140,12 +184,23 @@ class ModelSpec:
                 "norm_topk_prob": self.norm_topk_prob,
                 "decoder_sparse_step": self.decoder_sparse_step,
                 "mlp_only_layers": list(self.mlp_only_layers),
+                "n_shared_experts": self.num_shared_experts,
+                "scoring_func": self.scoring_func,
+                "routed_scaling_factor": self.routed_scaling_factor,
+            })
+        if self.is_mla:
+            cfg.update({
+                "q_lora_rank": self.q_lora_rank or None,
+                "kv_lora_rank": self.kv_lora_rank,
+                "qk_rope_head_dim": self.qk_rope_head_dim,
+                "qk_nope_head_dim": self.qk_nope_head_dim,
+                "v_head_dim": self.v_head_dim,
             })
         return cfg
 
     # Handy tiny specs for tests / dry runs.
     @classmethod
-    def tiny(cls, moe: bool = False, **over: Any) -> "ModelSpec":
+    def tiny(cls, moe: bool = False, mla: bool = False, **over: Any) -> "ModelSpec":
         base = dict(
             vocab_size=256,
             hidden_size=64,
@@ -162,5 +217,15 @@ class ModelSpec:
                 num_experts=4, num_experts_per_tok=2, moe_intermediate_size=32,
                 model_type="qwen3_moe",
             )
+        if mla:
+            base.update(
+                qk_norm=False, num_kv_heads=base["num_heads"],
+                q_lora_rank=32, kv_lora_rank=32, qk_rope_head_dim=8,
+                qk_nope_head_dim=16, v_head_dim=16,
+                model_type="deepseek_v3" if not moe else "deepseek_v3",
+            )
+            if moe:
+                base.update(num_shared_experts=1, scoring_func="sigmoid",
+                            routed_scaling_factor=2.5, mlp_only_layers=(0,))
         base.update(over)
         return cls(**base)

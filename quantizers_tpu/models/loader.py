@@ -55,11 +55,23 @@ def _build_params(
         layer: Dict[str, Any] = {
             "input_layernorm": arr(f"{p}.input_layernorm.weight"),
             "post_attention_layernorm": arr(f"{p}.post_attention_layernorm.weight"),
-            "q_proj": lin(f"{p}.self_attn.q_proj"),
-            "k_proj": lin(f"{p}.self_attn.k_proj"),
-            "v_proj": lin(f"{p}.self_attn.v_proj"),
             "o_proj": lin(f"{p}.self_attn.o_proj"),
         }
+        if spec.is_mla:
+            a = f"{p}.self_attn"
+            if spec.q_lora_rank:
+                layer["q_a_proj"] = lin(f"{a}.q_a_proj")
+                layer["q_a_layernorm"] = arr(f"{a}.q_a_layernorm.weight")
+                layer["q_b_proj"] = lin(f"{a}.q_b_proj")
+            else:
+                layer["q_proj"] = lin(f"{a}.q_proj")
+            layer["kv_a_proj_with_mqa"] = lin(f"{a}.kv_a_proj_with_mqa")
+            layer["kv_a_layernorm"] = arr(f"{a}.kv_a_layernorm.weight")
+            layer["kv_b_proj"] = lin(f"{a}.kv_b_proj")
+        else:
+            layer["q_proj"] = lin(f"{p}.self_attn.q_proj")
+            layer["k_proj"] = lin(f"{p}.self_attn.k_proj")
+            layer["v_proj"] = lin(f"{p}.self_attn.v_proj")
         if spec.qk_norm:
             layer["q_norm"] = arr(f"{p}.self_attn.q_norm.weight")
             layer["k_norm"] = arr(f"{p}.self_attn.k_norm.weight")
@@ -73,6 +85,14 @@ def _build_params(
                 "router": router,
                 **{proj: ExpertLinears.stack(lins) for proj, lins in experts.items()},
             }
+            bias = get_array(f"{p}.mlp.gate.e_score_correction_bias")
+            if bias is not None:
+                layer["moe"]["e_score_correction_bias"] = jnp.asarray(bias, jnp.float32)
+            if spec.num_shared_experts:
+                layer["moe"]["shared_experts"] = {
+                    proj: lin(f"{p}.mlp.shared_experts.{proj}")
+                    for proj in ("gate_proj", "up_proj", "down_proj")
+                }
         else:
             layer["mlp"] = {
                 "gate_proj": lin(f"{p}.mlp.gate_proj"),
@@ -165,9 +185,14 @@ def iter_model_linears(spec: ModelSpec, params: Dict[str, Any]):
     prefixes — callers get exactly the module paths the reference's recipes
     target (e.g. ``re:.*mlp\\.experts\\.\\d+\\.down_proj$``).
     """
+    if spec.is_mla:
+        attn_projs = (("q_a_proj", "q_b_proj") if spec.q_lora_rank else ("q_proj",)
+                      ) + ("kv_a_proj_with_mqa", "kv_b_proj", "o_proj")
+    else:
+        attn_projs = ("q_proj", "k_proj", "v_proj", "o_proj")
     for i, layer in enumerate(params["layers"]):
         p = f"model.layers.{i}"
-        for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+        for proj in attn_projs:
             yield f"{p}.self_attn.{proj}", layer[proj]
         if spec.layer_is_moe(i):
             moe = layer["moe"]
@@ -176,6 +201,9 @@ def iter_model_linears(spec: ModelSpec, params: Dict[str, Any]):
                 el: ExpertLinears = moe[proj]
                 for e in range(el.num_experts):
                     yield f"{p}.mlp.experts.{e}.{proj}", el.expert(e)
+            if "shared_experts" in moe:
+                for proj in ("gate_proj", "up_proj", "down_proj"):
+                    yield f"{p}.mlp.shared_experts.{proj}", moe["shared_experts"][proj]
         else:
             for proj in ("gate_proj", "up_proj", "down_proj"):
                 yield f"{p}.mlp.{proj}", layer["mlp"][proj]
@@ -217,4 +245,11 @@ def model_plain_tensors(spec: ModelSpec, params: Dict[str, Any]) -> Dict[str, np
         if spec.qk_norm:
             out[f"{p}.self_attn.q_norm.weight"] = np.asarray(layer["q_norm"])
             out[f"{p}.self_attn.k_norm.weight"] = np.asarray(layer["k_norm"])
+        if spec.is_mla:
+            if spec.q_lora_rank:
+                out[f"{p}.self_attn.q_a_layernorm.weight"] = np.asarray(layer["q_a_layernorm"])
+            out[f"{p}.self_attn.kv_a_layernorm.weight"] = np.asarray(layer["kv_a_layernorm"])
+        if spec.layer_is_moe(i) and "e_score_correction_bias" in layer["moe"]:
+            out[f"{p}.mlp.gate.e_score_correction_bias"] = np.asarray(
+                layer["moe"]["e_score_correction_bias"], np.float32)
     return out

@@ -91,13 +91,28 @@ class ExpertLinears:
                            bias=b, meta=self.meta)
 
 
-def route_topk(router_logits: jax.Array, top_k: int, norm_topk_prob: bool
-               ) -> jax.Array:
-    """(N, E) logits -> dense (N, E) combine weights, zero off the top-k."""
-    probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
-    topv, topi = jax.lax.top_k(probs, top_k)
+def route_topk(router_logits: jax.Array, top_k: int, norm_topk_prob: bool,
+               scoring_func: str = "softmax",
+               bias: Optional[jax.Array] = None,
+               routed_scaling_factor: float = 1.0) -> jax.Array:
+    """(N, E) logits -> dense (N, E) combine weights, zero off the top-k.
+
+    ``scoring_func="sigmoid"`` + ``bias`` implements the DeepSeek-V3 router:
+    expert *selection* uses ``sigmoid(logits) + e_score_correction_bias`` but
+    combine weights use the un-biased sigmoid scores, renormalized over the
+    chosen k and scaled by ``routed_scaling_factor`` (the family behind the
+    reference's GLM-Flash/MiniMax targets, `quant_GLM-4.7-Flash-FP8.py:15-22`).
+    """
+    if scoring_func == "sigmoid":
+        probs = jax.nn.sigmoid(router_logits.astype(jnp.float32))
+    else:
+        probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
+    choice = probs + bias.astype(jnp.float32) if bias is not None else probs
+    _, topi = jax.lax.top_k(choice, top_k)
+    topv = jnp.take_along_axis(probs, topi, axis=-1)
     if norm_topk_prob:
-        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+        topv = topv / (jnp.sum(topv, axis=-1, keepdims=True) + 1e-20)
+    topv = topv * routed_scaling_factor
     E = router_logits.shape[-1]
     onehot = jax.nn.one_hot(topi, E, dtype=jnp.float32)  # (N, k, E)
     return jnp.einsum("nk,nke->ne", topv, onehot)
@@ -119,7 +134,12 @@ def moe_forward(moe: Dict[str, Any], spec, x: jax.Array,
 
     router: QuantLinear = moe["router"]
     logits = router.apply(h2.astype(jnp.float32))  # router kept high-precision
-    weights = route_topk(logits, spec.num_experts_per_tok, spec.norm_topk_prob)
+    weights = route_topk(
+        logits, spec.num_experts_per_tok, spec.norm_topk_prob,
+        scoring_func=spec.scoring_func,
+        bias=moe.get("e_score_correction_bias"),
+        routed_scaling_factor=spec.routed_scaling_factor,
+    )
     weights = weights.astype(jnp.float32)  # (N, E)
 
     gate: ExpertLinears = moe["gate_proj"]
@@ -141,6 +161,18 @@ def moe_forward(moe: Dict[str, Any], spec, x: jax.Array,
     xs = (gate._xs(), up._xs(), down._xs(), weights.T)  # weights.T: (E, N)
     y0 = jnp.zeros((N, D), jnp.float32)
     y, down_inputs = jax.lax.scan(body, y0, xs)
+
+    # DeepSeek-style always-on shared experts: a plain dense MLP whose output
+    # is added unscaled to the routed combination.
+    shared = moe.get("shared_experts")
+    if shared is not None:
+        a = jax.nn.silu(shared["gate_proj"].apply(h2).astype(jnp.float32)
+                        ).astype(h2.dtype) * shared["up_proj"].apply(h2)
+        if want_capture:
+            capture["shared_gate_proj"] = h2
+            capture["shared_up_proj"] = h2
+            capture["shared_down_proj"] = a
+        y = y + shared["down_proj"].apply(a).astype(jnp.float32)
 
     if want_capture:
         capture["router"] = h2

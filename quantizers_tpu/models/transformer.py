@@ -61,6 +61,19 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
 
 
+def apply_rope_interleaved(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """DeepSeek-MLA rope: channels are stored interleaved (even/odd pairs).
+
+    Equivalent to HF's de-interleave-then-rotate-half; the output stays in
+    de-interleaved order, which is consistent between q and k so attention
+    scores match the torch reference bit-for-bit in spirit.
+    """
+    x1, x2 = x[..., 0::2], x[..., 1::2]
+    cos = cos[:, :, None, :].astype(x.dtype)
+    sin = sin[:, :, None, :].astype(x.dtype)
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+
+
 class KVCache(NamedTuple):
     """Per-layer KV cache, (B, S_max, n_kv, head_dim); ``length`` holds
     **per-row** fill lengths (B,) so rows decode at independent positions —
@@ -87,21 +100,23 @@ class KVCache(NamedTuple):
     def init(cls, spec: ModelSpec, batch: int, max_len: int,
              dtype=jnp.bfloat16, fp8: bool = False,
              k_scale: float = 1.0, v_scale: float = 1.0) -> List["KVCache"]:
-        shape = (batch, max_len, spec.num_kv_heads, spec.head_dim)
+        (hk, dk), (hv, dv) = spec.kv_cache_dims()
+        k_shape = (batch, max_len, hk, dk)
+        v_shape = (batch, max_len, hv, dv)
         caches = []
         for _ in range(spec.num_layers):
             if fp8:
                 caches.append(cls(
-                    k=jnp.zeros(shape, jnp.float8_e4m3fn),
-                    v=jnp.zeros(shape, jnp.float8_e4m3fn),
+                    k=jnp.zeros(k_shape, jnp.float8_e4m3fn),
+                    v=jnp.zeros(v_shape, jnp.float8_e4m3fn),
                     length=jnp.zeros((batch,), jnp.int32),
                     k_scale=jnp.asarray(k_scale, jnp.float32),
                     v_scale=jnp.asarray(v_scale, jnp.float32),
                 ))
             else:
                 caches.append(cls(
-                    k=jnp.zeros(shape, dtype),
-                    v=jnp.zeros(shape, dtype),
+                    k=jnp.zeros(k_shape, dtype),
+                    v=jnp.zeros(v_shape, dtype),
                     length=jnp.zeros((batch,), jnp.int32),
                 ))
         return caches
@@ -129,6 +144,31 @@ def _read(cache_arr: jax.Array, scale: Optional[jax.Array], dtype) -> jax.Array:
 # attention + mlp blocks
 # ---------------------------------------------------------------------------
 
+def _cache_and_mask(cache: Optional[KVCache], k: jax.Array, v: jax.Array,
+                    positions: jax.Array, dtype
+                    ) -> Tuple[jax.Array, jax.Array, jax.Array, Optional[KVCache]]:
+    """Append new k/v to the cache (per-row offsets) and build the causal
+    mask over the full (possibly cached) key axis.
+
+    Returns ``(k_att, v_att, mask (B|1, T, S), new_cache)``.
+    """
+    T = k.shape[1]
+    if cache is not None:
+        off = cache.length
+        k_all = _store(cache.k, k, off, cache.k_scale)
+        v_all = _store(cache.v, v, off, cache.v_scale)
+        new_cache = cache._replace(k=k_all, v=v_all, length=off + T)
+        k_att = _read(k_all, cache.k_scale, dtype)
+        v_att = _read(v_all, cache.v_scale, dtype)
+        S = k_att.shape[1]
+        kv_pos = jnp.arange(S)[None, :]  # (1, S)
+        mask = kv_pos[None, :, :] <= positions[:, :, None]  # (B, T, S)
+        return k_att, v_att, mask, new_cache
+    idx = jnp.arange(T)
+    mask = (idx[None, :, None] >= idx[None, None, :])  # (1, T, S) causal
+    return k, v, mask, None
+
+
 def attention(layer: Dict[str, Any], spec: ModelSpec, x: jax.Array,
               positions: jax.Array, cache: Optional[KVCache],
               capture: Optional[Dict[str, jax.Array]] = None
@@ -154,23 +194,7 @@ def attention(layer: Dict[str, Any], spec: ModelSpec, x: jax.Array,
         capture["k_cache"] = k
         capture["v_cache"] = v
 
-    if cache is not None:
-        off = cache.length
-        k_all = _store(cache.k, k, off, cache.k_scale)
-        v_all = _store(cache.v, v, off, cache.v_scale)
-        new_cache = cache._replace(k=k_all, v=v_all, length=off + T)
-        k_att = _read(k_all, cache.k_scale, x.dtype)
-        v_att = _read(v_all, cache.v_scale, x.dtype)
-        S = k_att.shape[1]
-        kv_pos = jnp.arange(S)[None, :]  # (1, S)
-        q_pos = positions  # (B, T)
-        mask = kv_pos[None, :, :] <= q_pos[:, :, None]  # (B, T, S)
-    else:
-        new_cache = None
-        k_att, v_att = k, v
-        S = T
-        idx = jnp.arange(T)
-        mask = (idx[None, :, None] >= idx[None, None, :])  # (1, T, S) causal
+    k_att, v_att, mask, new_cache = _cache_and_mask(cache, k, v, positions, x.dtype)
 
     # GQA without materializing repeated KV: fold the head-group axis into
     # the query side (a jnp.repeat here would stream rep× the KV cache out
@@ -184,6 +208,69 @@ def attention(layer: Dict[str, Any], spec: ModelSpec, x: jax.Array,
     probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
     ctx = jnp.einsum("bkrts,bskd->btkrd", probs, v_att)
     ctx = ctx.reshape(B, T, H * hd)
+
+    if capture is not None:
+        capture["o_proj"] = ctx
+    out = layer["o_proj"].apply(ctx)
+    return out, new_cache
+
+
+def mla_attention(layer: Dict[str, Any], spec: ModelSpec, x: jax.Array,
+                  positions: jax.Array, cache: Optional[KVCache],
+                  capture: Optional[Dict[str, jax.Array]] = None
+                  ) -> Tuple[jax.Array, Optional[KVCache]]:
+    """Multi-head Latent Attention (DeepSeek-V2/V3 / GLM-Flash / MiniMax).
+
+    Low-rank compressed KV + a decoupled shared RoPE head; the MLA
+    projections are exactly the modules the reference's data-free script
+    keeps high-precision (``scripts/quant_GLM-4.7-Flash-FP8.py:15-22``).
+    The cache stores the *expanded* per-head K/V (simple, serving-correct);
+    a latent-cache variant is a later optimization.
+    """
+    B, T, _ = x.shape
+    H = spec.num_heads
+    dn, dr, dv = spec.qk_nope_head_dim, spec.qk_rope_head_dim, spec.v_head_dim
+    dq = dn + dr
+
+    if spec.q_lora_rank:
+        cq = rms_norm(layer["q_a_proj"].apply(x), layer["q_a_layernorm"],
+                      spec.rms_norm_eps)
+        if capture is not None:
+            capture["q_b_proj"] = cq
+        q = layer["q_b_proj"].apply(cq)
+    else:
+        q = layer["q_proj"].apply(x)
+    q = q.reshape(B, T, H, dq)
+    q_nope, q_pe = q[..., :dn], q[..., dn:]
+
+    ckv = layer["kv_a_proj_with_mqa"].apply(x)  # (B, T, r + dr)
+    c_kv = rms_norm(ckv[..., : spec.kv_lora_rank], layer["kv_a_layernorm"],
+                    spec.rms_norm_eps)
+    k_pe = ckv[..., spec.kv_lora_rank:][:, :, None, :]  # (B, T, 1, dr)
+    if capture is not None:
+        capture["kv_b_proj"] = c_kv
+    kv = layer["kv_b_proj"].apply(c_kv).reshape(B, T, H, dn + dv)
+    k_nope, v = kv[..., :dn], kv[..., dn:]
+
+    cos, sin = rotary_cos_sin(positions, dr, spec.rope_theta)
+    q_pe = apply_rope_interleaved(q_pe, cos, sin)
+    k_pe = apply_rope_interleaved(k_pe, cos, sin)
+
+    q = jnp.concatenate([q_nope, q_pe], axis=-1)
+    k = jnp.concatenate([k_nope, jnp.broadcast_to(k_pe, (B, T, H, dr))], axis=-1)
+
+    if capture is not None:
+        capture["k_cache"] = k
+        capture["v_cache"] = v
+
+    k_att, v_att, mask, new_cache = _cache_and_mask(cache, k, v, positions, x.dtype)
+
+    scores = jnp.einsum("bthd,bshd->bhts", q, k_att,
+                        preferred_element_type=jnp.float32)
+    scores = scores * (1.0 / np.sqrt(dq))
+    scores = jnp.where(mask[:, None, :, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bhts,bshd->bthd", probs, v_att).reshape(B, T, H * dv)
 
     if capture is not None:
         capture["o_proj"] = ctx
@@ -215,11 +302,17 @@ def apply_layer(layer: Dict[str, Any], spec: ModelSpec, layer_idx: int,
     inputs of each linear (keyed by projection name) — the activation feed
     for AWQ/GPTQ observers."""
     h = rms_norm(x, layer["input_layernorm"], spec.rms_norm_eps)
-    if capture is not None:
-        capture["q_proj"] = h
-        capture["k_proj"] = h
-        capture["v_proj"] = h
-    attn_out, new_cache = attention(layer, spec, h, positions, cache, capture)
+    if spec.is_mla:
+        if capture is not None:
+            capture["q_a_proj" if spec.q_lora_rank else "q_proj"] = h
+            capture["kv_a_proj_with_mqa"] = h
+        attn_out, new_cache = mla_attention(layer, spec, h, positions, cache, capture)
+    else:
+        if capture is not None:
+            capture["q_proj"] = h
+            capture["k_proj"] = h
+            capture["v_proj"] = h
+        attn_out, new_cache = attention(layer, spec, h, positions, cache, capture)
     x = x + attn_out
 
     h = rms_norm(x, layer["post_attention_layernorm"], spec.rms_norm_eps)
@@ -286,7 +379,7 @@ def _rand_linear(key: jax.Array, n: int, k: int, dtype=jnp.bfloat16,
 def init_params(spec: ModelSpec, key: Optional[jax.Array] = None,
                 dtype=jnp.bfloat16) -> Dict[str, Any]:
     key = key if key is not None else jax.random.PRNGKey(0)
-    n_keys = 8 + spec.num_layers * (8 + 3 * max(spec.num_experts, 1))
+    n_keys = 8 + spec.num_layers * (12 + 3 * max(spec.num_experts, 1))
     ks = iter(jax.random.split(key, n_keys))
     D, Ff = spec.hidden_size, spec.intermediate_size
     layers: List[Dict[str, Any]] = []
@@ -294,11 +387,27 @@ def init_params(spec: ModelSpec, key: Optional[jax.Array] = None,
         layer: Dict[str, Any] = {
             "input_layernorm": jnp.ones((D,), dtype),
             "post_attention_layernorm": jnp.ones((D,), dtype),
-            "q_proj": _rand_linear(next(ks), spec.q_dim, D, dtype, spec.attention_bias),
-            "k_proj": _rand_linear(next(ks), spec.kv_dim, D, dtype, spec.attention_bias),
-            "v_proj": _rand_linear(next(ks), spec.kv_dim, D, dtype, spec.attention_bias),
-            "o_proj": _rand_linear(next(ks), D, spec.q_dim, dtype),
         }
+        if spec.is_mla:
+            H, dq = spec.num_heads, spec.qk_head_dim
+            if spec.q_lora_rank:
+                layer["q_a_proj"] = _rand_linear(next(ks), spec.q_lora_rank, D, dtype)
+                layer["q_a_layernorm"] = jnp.ones((spec.q_lora_rank,), dtype)
+                layer["q_b_proj"] = _rand_linear(next(ks), H * dq, spec.q_lora_rank, dtype)
+            else:
+                layer["q_proj"] = _rand_linear(next(ks), H * dq, D, dtype)
+            layer["kv_a_proj_with_mqa"] = _rand_linear(
+                next(ks), spec.kv_lora_rank + spec.qk_rope_head_dim, D, dtype)
+            layer["kv_a_layernorm"] = jnp.ones((spec.kv_lora_rank,), dtype)
+            layer["kv_b_proj"] = _rand_linear(
+                next(ks), H * (spec.qk_nope_head_dim + spec.v_head_dim),
+                spec.kv_lora_rank, dtype)
+            layer["o_proj"] = _rand_linear(next(ks), D, H * spec.v_head_dim, dtype)
+        else:
+            layer["q_proj"] = _rand_linear(next(ks), spec.q_dim, D, dtype, spec.attention_bias)
+            layer["k_proj"] = _rand_linear(next(ks), spec.kv_dim, D, dtype, spec.attention_bias)
+            layer["v_proj"] = _rand_linear(next(ks), spec.kv_dim, D, dtype, spec.attention_bias)
+            layer["o_proj"] = _rand_linear(next(ks), D, spec.q_dim, dtype)
         if spec.qk_norm:
             layer["q_norm"] = jnp.ones((spec.head_dim,), dtype)
             layer["k_norm"] = jnp.ones((spec.head_dim,), dtype)
@@ -313,6 +422,15 @@ def init_params(spec: ModelSpec, key: Optional[jax.Array] = None,
                 [_rand_linear(next(ks), D, Fe, dtype) for _ in range(E)])
             layer["moe"] = {"router": router, "gate_proj": gate, "up_proj": up,
                             "down_proj": down}
+            if spec.scoring_func == "sigmoid":
+                layer["moe"]["e_score_correction_bias"] = jnp.zeros((E,), jnp.float32)
+            if spec.num_shared_experts:
+                Fs = Fe * spec.num_shared_experts
+                layer["moe"]["shared_experts"] = {
+                    "gate_proj": _rand_linear(next(ks), Fs, D, dtype),
+                    "up_proj": _rand_linear(next(ks), Fs, D, dtype),
+                    "down_proj": _rand_linear(next(ks), D, Fs, dtype),
+                }
         else:
             layer["mlp"] = {
                 "gate_proj": _rand_linear(next(ks), Ff, D, dtype, spec.mlp_bias),

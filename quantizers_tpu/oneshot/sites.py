@@ -45,7 +45,12 @@ def layer_sites(spec: ModelSpec, layer_idx: int, layer: Dict[str, Any]) -> List[
             is_expert=is_expert,
         )
 
-    for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+    if spec.is_mla:
+        attn_projs = (("q_a_proj", "q_b_proj") if spec.q_lora_rank else ("q_proj",)
+                      ) + ("kv_a_proj_with_mqa", "kv_b_proj", "o_proj")
+    else:
+        attn_projs = ("q_proj", "k_proj", "v_proj", "o_proj")
+    for proj in attn_projs:
         sites.append(_mk(f"{p}.self_attn.{proj}", proj, proj, layer, proj))
 
     if spec.layer_is_moe(layer_idx):
@@ -56,6 +61,13 @@ def layer_sites(spec: ModelSpec, layer_idx: int, layer: Dict[str, Any]) -> List[
                 f"{p}.mlp.experts.*.{proj}", proj, f"moe_{proj}", moe, proj,
                 is_expert=True,
             ))
+        if "shared_experts" in moe:
+            shared = moe["shared_experts"]
+            for proj in ("gate_proj", "up_proj", "down_proj"):
+                sites.append(_mk(
+                    f"{p}.mlp.shared_experts.{proj}", proj, f"shared_{proj}",
+                    shared, proj,
+                ))
     else:
         mlp = layer["mlp"]
         for proj in ("gate_proj", "up_proj", "down_proj"):

@@ -48,6 +48,22 @@ def moe_model():
     return spec, params
 
 
+@pytest.fixture(scope="module")
+def mla_model():
+    spec = ModelSpec.tiny(mla=True)
+    params = init_params(spec, jax.random.PRNGKey(2))
+    return spec, params
+
+
+@pytest.fixture(scope="module")
+def mla_moe_model():
+    """DeepSeek-V3-shaped tiny model: MLA + sigmoid-scored MoE with a
+    shared expert and a first dense layer."""
+    spec = ModelSpec.tiny(moe=True, mla=True)
+    params = init_params(spec, jax.random.PRNGKey(3))
+    return spec, params
+
+
 class TestForward:
     def test_shapes_and_determinism(self, dense_model):
         spec, params = dense_model
@@ -144,6 +160,87 @@ class TestMoE:
         np.testing.assert_array_equal(nz, spec.num_experts_per_tok)
 
 
+class TestMLA:
+    def test_forward_shapes(self, mla_model):
+        spec, params = mla_model
+        assert spec.is_mla
+        ids = jnp.array([[3, 1, 4, 1, 5, 9]], dtype=jnp.int32)
+        logits, _ = forward(params, spec, ids)
+        assert logits.shape == (1, 6, spec.vocab_size)
+        assert jnp.isfinite(logits.astype(jnp.float32)).all()
+
+    def test_causality(self, mla_model):
+        spec, params = mla_model
+        l1, _ = forward(params, spec, jnp.array([[1, 2, 3, 4]], dtype=jnp.int32))
+        l2, _ = forward(params, spec, jnp.array([[1, 2, 3, 9]], dtype=jnp.int32))
+        np.testing.assert_allclose(
+            np.asarray(l1[:, :3], np.float32), np.asarray(l2[:, :3], np.float32))
+
+    def test_kv_cache_matches_full_forward(self, mla_model):
+        spec, params = mla_model
+        T = 8
+        ids = (jnp.arange(T, dtype=jnp.int32)[None, :] * 5 + 2) % spec.vocab_size
+        full, _ = forward(params, spec, ids)
+        caches = KVCache.init(spec, batch=1, max_len=16)
+        # MLA cache shapes: K carries nope+rope dims, V carries v_head_dim
+        assert caches[0].k.shape == (1, 16, spec.num_heads, spec.qk_head_dim)
+        assert caches[0].v.shape == (1, 16, spec.num_heads, spec.v_head_dim)
+        pre, caches = forward(params, spec, ids[:, :4], caches=caches)
+        np.testing.assert_allclose(
+            np.asarray(pre, np.float32), np.asarray(full[:, :4], np.float32),
+            rtol=2e-2, atol=2e-2)
+        for t in range(4, T):
+            step, caches = forward(params, spec, ids[:, t : t + 1], caches=caches)
+            np.testing.assert_allclose(
+                np.asarray(step[:, 0], np.float32),
+                np.asarray(full[:, t], np.float32), rtol=2e-2, atol=2e-2)
+
+    def test_deepseek_moe_forward(self, mla_moe_model):
+        spec, params = mla_moe_model
+        assert spec.num_shared_experts == 1 and spec.scoring_func == "sigmoid"
+        assert not spec.layer_is_moe(0) and spec.layer_is_moe(1)
+        ids = jnp.array([[3, 1, 4, 1, 5]], dtype=jnp.int32)
+        logits, _ = forward(params, spec, ids)
+        assert logits.shape == (1, 5, spec.vocab_size)
+        assert jnp.isfinite(logits.astype(jnp.float32)).all()
+
+    def test_sigmoid_routing_bias_changes_selection_not_weights(self):
+        logits = jnp.array([[2.0, 1.9, -3.0, -3.1]])
+        w0 = np.asarray(route_topk(logits, 2, True, scoring_func="sigmoid"))
+        # huge bias on expert 3 forces it into the top-k...
+        bias = jnp.array([0.0, 0.0, 0.0, 100.0])
+        w1 = np.asarray(route_topk(logits, 2, True, scoring_func="sigmoid", bias=bias))
+        assert w0[0, 3] == 0 and w1[0, 3] > 0
+        # ...but its combine weight still comes from the un-biased sigmoid
+        s = jax.nn.sigmoid(logits.astype(jnp.float32))
+        expect = float(s[0, 3] / (s[0, 0] + s[0, 3]))
+        np.testing.assert_allclose(w1[0, 3], expect, rtol=1e-5)
+
+    def test_routed_scaling_factor(self):
+        logits = jnp.array([[1.0, 0.5, 0.0, -0.5]])
+        w1 = np.asarray(route_topk(logits, 2, True, scoring_func="sigmoid"))
+        w2 = np.asarray(route_topk(logits, 2, True, scoring_func="sigmoid",
+                                   routed_scaling_factor=2.5))
+        np.testing.assert_allclose(w2, w1 * 2.5, rtol=1e-6)
+
+    def test_mla_capture_sites(self, mla_model):
+        from quantizers_tpu.models.transformer import apply_layer, embed
+        from quantizers_tpu.oneshot.sites import layer_sites
+
+        spec, params = mla_model
+        ids = jnp.array([[3, 1, 4]], dtype=jnp.int32)
+        x = embed(params, ids)
+        cap = {}
+        apply_layer(params["layers"][0], spec, 0, x, jnp.arange(3)[None, :],
+                    capture=cap)
+        sites = layer_sites(spec, 0, params["layers"][0])
+        names = {s.name for s in sites}
+        assert names == {"q_a_proj", "q_b_proj", "kv_a_proj_with_mqa",
+                         "kv_b_proj", "o_proj", "gate_proj", "up_proj", "down_proj"}
+        for s in sites:
+            assert s.capture_key in cap, f"missing capture for {s.capture_key}"
+
+
 class TestQuantizedModel:
     def test_w4_model_close_to_dense(self, dense_model):
         spec, params = dense_model
@@ -204,6 +301,20 @@ class TestLoaders:
         spec2, params2 = load_hf_model(tmp_path)
         assert spec2.is_moe and spec2.num_experts == spec.num_experts
         ids = jnp.array([[7, 8, 9]], dtype=jnp.int32)
+        l1, _ = forward(params, spec, ids)
+        l2, _ = forward(params2, spec2, ids)
+        np.testing.assert_allclose(
+            np.asarray(l1, np.float32), np.asarray(l2, np.float32), rtol=2e-2, atol=2e-2
+        )
+
+    def test_mla_moe_hf_roundtrip(self, mla_moe_model, tmp_path):
+        spec, params = mla_moe_model
+        self._save_hf(spec, params, tmp_path)
+        spec2, params2 = load_hf_model(tmp_path)
+        assert spec2.is_mla and spec2.kv_lora_rank == spec.kv_lora_rank
+        assert spec2.num_shared_experts == spec.num_shared_experts
+        assert spec2.mlp_only_layers == spec.mlp_only_layers
+        ids = jnp.array([[7, 8, 9, 1]], dtype=jnp.int32)
         l1, _ = forward(params, spec, ids)
         l2, _ = forward(params2, spec2, ids)
         np.testing.assert_allclose(

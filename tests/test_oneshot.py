@@ -101,6 +101,35 @@ class TestRTN:
         rel = np.abs(ref - out).mean() / (np.abs(ref).mean() + 1e-9)
         assert rel < 0.3
 
+    def test_oneshot_mla_deepseek_moe(self):
+        """RTN oneshot over a DeepSeek-shaped model (MLA + shared-expert MoE):
+        every site — MLA projections, routed experts, shared experts — gets
+        compressed, router stays ignored (mirrors the reference's ignore
+        policy, `quant_GLM-4.7-Flash-FP8.py:15-22`)."""
+        spec = ModelSpec.tiny(moe=True, mla=True)
+        params0 = init_params(spec, jax.random.PRNGKey(3))
+        params = _clone(params0)
+        ids = jnp.array([[1, 2, 3, 4, 5, 6]], dtype=jnp.int32)
+        ref = _logits(spec, params0, ids)
+
+        recipe = parse_recipe({"quant_stage": {"quant_modifiers": {
+            "QuantizationModifier": {
+                "config_groups": {"group_0": dict(W4G32)},
+                "ignore": ["lm_head", "re:.*mlp\\.gate$"]}}}})
+        res = oneshot(spec, params, recipe, _tiny_batches(spec))
+        # layer 0 (dense mlp): 5 MLA + 3 mlp = 8 records
+        # layer 1 (moe): 5 MLA + 3 experts*4 + 3 shared = 8 + 12 + 3... records
+        # count: expert sites emit one record per expert
+        prefixes = set(res.records)
+        assert "model.layers.0.self_attn.kv_b_proj" in prefixes
+        assert "model.layers.1.mlp.experts.0.down_proj" in prefixes
+        assert "model.layers.1.mlp.shared_experts.down_proj" in prefixes
+        assert not any(p.endswith("mlp.gate") for p in prefixes)
+
+        out = _logits(spec, res.params, ids)
+        rel = np.abs(ref - out).mean() / (np.abs(ref).mean() + 1e-9)
+        assert rel < 0.35
+
     def test_static_fp8_act_scales(self, dense):
         spec, params0 = dense
         params = _clone(params0)
