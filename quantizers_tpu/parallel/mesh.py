@@ -111,12 +111,34 @@ def param_pspecs(spec: ModelSpec, params: Dict[str, Any], mesh: Mesh) -> Dict[st
         if spec.qk_norm:
             out["q_norm"] = P(None)
             out["k_norm"] = P(None)
-        for name in ("q_proj", "k_proj", "v_proj"):
-            out[name] = _linear_pspecs(layer[name], 1, tp)
+        if spec.is_mla:
+            # MLA: the low-rank `a` projections output a head-shared latent
+            # (replicated); the `b` expansions are column-parallel over
+            # heads; o_proj row-parallel over H*v_head_dim.
+            if spec.q_lora_rank:
+                out["q_a_proj"] = _linear_pspecs(layer["q_a_proj"], 1, None)
+                out["q_a_layernorm"] = P(None)
+                out["q_b_proj"] = _linear_pspecs(layer["q_b_proj"], 1, tp)
+            else:
+                out["q_proj"] = _linear_pspecs(layer["q_proj"], 1, tp)
+            out["kv_a_proj_with_mqa"] = _linear_pspecs(layer["kv_a_proj_with_mqa"], 1, None)
+            out["kv_a_layernorm"] = P(None)
+            out["kv_b_proj"] = _linear_pspecs(layer["kv_b_proj"], 1, tp)
+        else:
+            for name in ("q_proj", "k_proj", "v_proj"):
+                out[name] = _linear_pspecs(layer[name], 1, tp)
         out["o_proj"] = _linear_pspecs(layer["o_proj"], 0, tp)
         if spec.layer_is_moe(i):
             moe = layer["moe"]
             mout: Dict[str, Any] = {"router": _linear_pspecs(moe["router"], 1, None)}
+            if "e_score_correction_bias" in moe:
+                mout["e_score_correction_bias"] = P(None)
+            if "shared_experts" in moe:
+                mout["shared_experts"] = {
+                    "gate_proj": _linear_pspecs(moe["shared_experts"]["gate_proj"], 1, tp),
+                    "up_proj": _linear_pspecs(moe["shared_experts"]["up_proj"], 1, tp),
+                    "down_proj": _linear_pspecs(moe["shared_experts"]["down_proj"], 0, tp),
+                }
             for name in ("gate_proj", "up_proj"):
                 el: ExpertLinears = moe[name]
                 lin2d = el.expert(0)

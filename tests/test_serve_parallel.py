@@ -98,6 +98,21 @@ class TestMesh:
             np.asarray(ref, np.float32), np.asarray(out, np.float32),
             rtol=3e-2, atol=3e-2)
 
+    def test_mla_sharded_forward_matches_single_device(self):
+        spec = ModelSpec.tiny(moe=True, mla=True)
+        params = init_params(spec, jax.random.PRNGKey(3))
+        mesh = make_mesh({"dp": 2, "tp": 4})
+        ids = jnp.asarray(np.arange(12, dtype=np.int32).reshape(2, 6) % spec.vocab_size)
+        ref, _ = forward(params, spec, ids)
+        sharded = shard_params(spec, params, mesh)
+        # b-expansions column-parallel over tp
+        assert "tp" in str(sharded["layers"][0]["kv_b_proj"].weight.sharding.spec)
+        with mesh:
+            out = jax.jit(lambda p, i: forward(p, spec, i)[0])(sharded, ids)
+        np.testing.assert_allclose(
+            np.asarray(ref, np.float32), np.asarray(out, np.float32),
+            rtol=3e-2, atol=3e-2)
+
     def test_pspecs_structure_matches(self, model):
         spec, params = model
         mesh = make_mesh({"tp": 8})
