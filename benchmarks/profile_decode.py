@@ -73,30 +73,35 @@ SPEC = ModelSpec(
 
 
 def decode_scan_variant(params, spec, caches, first, *, steps,
-                        skip_attn=False, skip_head=False):
+                        skip_attn=False, skip_head=False, skip_mlp=False):
+    from quantizers_tpu.models.transformer import attention
+
     def fwd(params, tok, caches):
         x = embed(params, tok[:, None])
         positions = caches[0].length[:, None]
         new_caches = []
         for i, layer in enumerate(params["layers"]):
             if skip_attn:
-                h = rms_norm(x, layer["post_attention_layernorm"], spec.rms_norm_eps)
-                x = x + dense_mlp(layer["mlp"], h)
-                # still advance cache lengths so positions move
                 c = caches[i]
                 new_caches.append(c._replace(length=c.length + 1))
             else:
-                x, nc = apply_layer(layer, spec, i, x, positions, caches[i])
+                h = rms_norm(x, layer["input_layernorm"], spec.rms_norm_eps)
+                a, nc = attention(layer, spec, h, positions, caches[i])
+                x = x + a
                 new_caches.append(nc)
+            if not skip_mlp:
+                h = rms_norm(x, layer["post_attention_layernorm"], spec.rms_norm_eps)
+                x = x + dense_mlp(layer["mlp"], h)
         if skip_head:
-            return x.sum(axis=-1).astype(jnp.float32), new_caches
+            # keep a data dependency on x so nothing is dead-code-eliminated
+            return x[:, 0, :2].sum(axis=-1).astype(jnp.float32), new_caches
         return logits_head(params, spec, x)[:, 0].astype(jnp.float32), new_caches
 
     def step(carry, _):
         caches, tok = carry
         logits, caches = fwd(params, tok, caches)
         if skip_head:
-            nxt = (tok + 1) % spec.vocab_size
+            nxt = ((tok + 1) % spec.vocab_size) + (logits > 1e30).astype(jnp.int32)
         else:
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return (caches, nxt), nxt
@@ -165,6 +170,10 @@ def main():
         elif v == "no_head":
             fn = jax.jit(partial(decode_scan_variant, spec=SPEC, steps=STEPS,
                                  skip_head=True))
+            best, comp = timed(lambda: fn(params, caches=caches, first=first))
+        elif v == "attn_only":
+            fn = jax.jit(partial(decode_scan_variant, spec=SPEC, steps=STEPS,
+                                 skip_head=True, skip_mlp=True))
             best, comp = timed(lambda: fn(params, caches=caches, first=first))
         elif v == "matmul_only":
             fn = jax.jit(partial(matmul_only_scan, spec=SPEC, steps=STEPS))
