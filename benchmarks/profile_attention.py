@@ -69,6 +69,13 @@ def step_fn(carry, _, *, mode):
         elif mode == "dus_scalar":
             k_all = jax.lax.dynamic_update_slice(k_cache, new_k[:, None], (0, pos[0], 0, 0))
             v_all = jax.lax.dynamic_update_slice(v_cache, new_v[:, None], (0, pos[0], 0, 0))
+        elif mode == "dus_loop":
+            k_all, v_all = k_cache, v_cache
+            for b in range(B):
+                k_all = jax.lax.dynamic_update_slice(
+                    k_all, new_k[b][None, None], (b, pos[b], 0, 0))
+                v_all = jax.lax.dynamic_update_slice(
+                    v_all, new_v[b][None, None], (b, pos[b], 0, 0))
         elif mode == "onehot":
             oh = (jnp.arange(S)[None, :] == pos[:, None]).astype(jnp.bfloat16)
             k_all = k_cache * (1 - oh)[:, :, None, None] + new_k[:, None] * oh[:, :, None, None]

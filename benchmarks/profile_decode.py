@@ -110,18 +110,26 @@ def decode_scan_variant(params, spec, caches, first, *, steps,
     return toks
 
 
-def matmul_only_scan(params, spec, first, *, steps):
+def matmul_only_scan(params, spec, first, *, steps, fused=False):
     D = spec.hidden_size
 
     def step(carry, _):
         x = carry  # (B, D)
         for layer in params["layers"]:
-            q = layer["q_proj"].apply(x)
-            k = layer["k_proj"].apply(x)
-            v = layer["v_proj"].apply(x)
-            x = layer["o_proj"].apply(q) + k.sum(-1, keepdims=True) + v.sum(-1, keepdims=True)
-            g = layer["mlp"]["gate_proj"].apply(x)
-            u = layer["mlp"]["up_proj"].apply(x)
+            if fused:
+                qkv = layer["qkv_proj"].apply(x)
+                q = qkv[:, : spec.q_dim]
+                rest = qkv[:, spec.q_dim :].sum(-1, keepdims=True)
+                x = layer["o_proj"].apply(q) + rest
+                gu = layer["mlp"]["gateup_proj"].apply(x)
+                g, u = jnp.split(gu, 2, axis=-1)
+            else:
+                q = layer["q_proj"].apply(x)
+                k = layer["k_proj"].apply(x)
+                v = layer["v_proj"].apply(x)
+                x = layer["o_proj"].apply(q) + k.sum(-1, keepdims=True) + v.sum(-1, keepdims=True)
+                g = layer["mlp"]["gate_proj"].apply(x)
+                u = layer["mlp"]["up_proj"].apply(x)
             x = layer["mlp"]["down_proj"].apply(jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u)
         return x, x.sum()
 
@@ -163,6 +171,16 @@ def main():
         if v == "full":
             fn = jax.jit(partial(decode_scan_variant, spec=SPEC, steps=STEPS))
             best, comp = timed(lambda: fn(params, caches=caches, first=first))
+        elif v == "full_fused":
+            from quantizers_tpu.models.transformer import fuse_for_decode
+            fparams = jax.block_until_ready(fuse_for_decode(SPEC, params))
+            fn = jax.jit(partial(decode_scan_variant, spec=SPEC, steps=STEPS))
+            best, comp = timed(lambda: fn(fparams, caches=caches, first=first))
+        elif v == "matmul_fused":
+            from quantizers_tpu.models.transformer import fuse_for_decode
+            fparams = jax.block_until_ready(fuse_for_decode(SPEC, params))
+            fn = jax.jit(partial(matmul_only_scan, spec=SPEC, steps=STEPS, fused=True))
+            best, comp = timed(lambda: fn(fparams, first=first))
         elif v == "no_attn":
             fn = jax.jit(partial(decode_scan_variant, spec=SPEC, steps=STEPS,
                                  skip_attn=True))

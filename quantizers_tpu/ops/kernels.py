@@ -24,7 +24,7 @@ correctness oracle; kernels run in interpret mode on CPU in CI.
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +45,35 @@ def _interpret() -> bool:
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
+
+
+# Weight-tile budget. Decode-time quantized matmuls are HBM-streaming with
+# tiny M; the limiter is per-grid-step overhead (DMA issue + pipeline
+# bubbles), so tiles should be as large as the 16 MB scoped-VMEM budget
+# allows. The dequant intermediates (i32 widen + bf16 codes + bf16 scaled
+# weights) cost ~8x the u8 tile bytes on the Mosaic stack, which caps the
+# packed tile near 1 MB.
+_W_TILE_BYTES = 1 << 20
+
+
+def _pick_tiles(k_rows: int, n: int, row_quantum: int,
+                n_quantum: int = 128) -> Tuple[int, int]:
+    """Choose (block_rows, bn) for a (k_rows, n) weight operand: prefer
+    bn == n (contiguous DMA), then the largest row-divisor multiple of
+    ``row_quantum`` fitting the tile budget."""
+    bn = n
+    while bn > n_quantum and (n % bn or bn * row_quantum > _W_TILE_BYTES):
+        # walk down through divisors of n that are multiples of n_quantum
+        bn -= n_quantum
+        while bn > n_quantum and n % bn:
+            bn -= n_quantum
+    best = row_quantum
+    r = row_quantum
+    while r <= k_rows:
+        if k_rows % r == 0 and r * bn <= _W_TILE_BYTES:
+            best = r
+        r += row_quantum
+    return best, bn
 
 
 def _flatten_x(x: jax.Array, k: int):
@@ -160,14 +189,8 @@ def w4_matmul(x: jax.Array, lin: QuantLinear, interpret: Optional[bool] = None) 
     if k % (2 * g) or n % 128 or g % 2:
         raise KernelUnsupported(f"w4 kernel needs 2g|K and 128|N (k={k}, n={n}, g={g})")
 
-    # bigger tiles -> fewer, larger DMAs (bandwidth-bound at decode)
-    bn = 512 if n % 512 == 0 else (256 if n % 256 == 0 else 128)
     # one k-step covers bk2 packed rows = bk2 weights per plane
-    bk2 = g
-    while bk2 < 512 and (k // 2) % (bk2 * 2) == 0:
-        bk2 *= 2
-    if (k // 2) % bk2:
-        raise KernelUnsupported(f"w4 kernel: K/2={k//2} not divisible by bk2={bk2}")
+    bk2, bn = _pick_tiles(k // 2, n, 8 * g)  # scale tile rows (bk2/g) must be %8
 
     x2, lead = _flatten_x(x, k)
     m = x2.shape[0]
@@ -264,10 +287,7 @@ def nvfp4_matmul(x: jax.Array, lin: QuantLinear, interpret: Optional[bool] = Non
     if k % (2 * g) or n % 128:
         raise KernelUnsupported(f"nvfp4 kernel needs 2g|K and 128|N (k={k}, n={n})")
 
-    bn = 256 if n % 256 == 0 else 128
-    bk2 = g
-    while bk2 < 256 and (k // 2) % (bk2 * 2) == 0:
-        bk2 *= 2
+    bk2, bn = _pick_tiles(k // 2, n, 8 * g)  # scale tile rows (bk2/g) must be %8
 
     x2, lead = _flatten_x(x, k)
     m = x2.shape[0]
@@ -342,8 +362,7 @@ def fp8_matmul(x: jax.Array, lin: QuantLinear, interpret: Optional[bool] = None)
     if bk_blk != 128 or bn_blk != 128 or k % 128 or n % 128:
         raise KernelUnsupported(f"fp8 kernel needs 128x128 blocks and 128|K,N (k={k}, n={n})")
 
-    bn = 256 if n % 256 == 0 else 128
-    bk = 512 if k % 512 == 0 else (256 if k % 256 == 0 else 128)
+    bk, bn = _pick_tiles(k, n, 128)
 
     x2, lead = _flatten_x(x, k)
     m = x2.shape[0]
@@ -418,10 +437,9 @@ def w8_matmul(x: jax.Array, lin: QuantLinear, interpret: Optional[bool] = None) 
         raise KernelUnsupported("asymmetric w8 goes through the XLA path")
     if n % 128 or k % 256:
         raise KernelUnsupported(f"w8 kernel needs 128|N, 256|K (k={k}, n={n})")
-    bk = 512 if k % 512 == 0 else 256
+    bk, bn = _pick_tiles(k, n, max(8 * int(g or 0), 256))
     if g and bk % int(g):
         raise KernelUnsupported(f"w8 kernel: group {g} must divide bk {bk}")
-    bn = 256 if n % 256 == 0 else 128
 
     x2, lead = _flatten_x(x, k)
     m = x2.shape[0]

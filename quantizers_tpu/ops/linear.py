@@ -266,3 +266,50 @@ def from_quantized(
         )
 
     raise ValueError(f"no device layout for args {args}")
+
+
+# ---------------------------------------------------------------------------
+# decode-layout fusion
+# ---------------------------------------------------------------------------
+
+def concat_linears(lins: list) -> QuantLinear:
+    """Concatenate linears sharing the same input (same K, kind, layout)
+    along the output-features axis — the fused-QKV / fused-GateUp layout.
+
+    All supported payload layouts keep N as the trailing axis (weight
+    (K-ish, N), scales (groups, N)), so fusion is a pure axis-1 concat; one
+    kernel call then streams all the fused weights, cutting per-call grid
+    and DMA-issue overhead during decode.
+    """
+    if len(lins) == 1:
+        return lins[0]
+    first = lins[0]
+    md0 = dict(first.meta)
+    for l in lins[1:]:
+        md = dict(l.meta)
+        if l.kind != first.kind or md.get("k") != md0.get("k"):
+            raise ValueError("fusion requires same kind and in_features")
+        for key in md0:
+            if key not in ("n",) and md.get(key) != md0.get(key):
+                raise ValueError(f"fusion requires matching meta ({key})")
+    n_total = sum(int(dict(l.meta)["n"]) for l in lins)
+
+    def cat(field: str, axis: int = 1):
+        vals = [getattr(l, field) for l in lins]
+        if all(v is None for v in vals):
+            return None
+        if any(v is None for v in vals):
+            raise ValueError(f"fusion: mixed None/non-None {field}")
+        return jnp.concatenate(vals, axis=axis)
+
+    if first.kind == "fp8" and md0.get("strategy") == "tensor":
+        raise ValueError("cannot fuse tensor-scaled fp8 linears")
+    meta = tuple((k, v) if k != "n" else ("n", n_total) for k, v in first.meta)
+    return QuantLinear(
+        kind=first.kind,
+        weight=cat("weight"),
+        scale=cat("scale"),
+        zero_point=cat("zero_point"),
+        bias=cat("bias", axis=0),
+        meta=meta,
+    )

@@ -241,6 +241,61 @@ class TestMLA:
             assert s.capture_key in cap, f"missing capture for {s.capture_key}"
 
 
+class TestFusedDecodeLayout:
+    def test_fused_forward_matches(self, dense_model):
+        from quantizers_tpu.models.transformer import fuse_for_decode
+
+        spec, params = dense_model
+        fused = fuse_for_decode(spec, params)
+        assert "qkv_proj" in fused["layers"][0]
+        assert "gateup_proj" in fused["layers"][0]["mlp"]
+        ids = jnp.array([[1, 2, 3, 4, 5]], dtype=jnp.int32)
+        l1, _ = forward(params, spec, ids)
+        l2, _ = forward(fused, spec, ids)
+        np.testing.assert_allclose(
+            np.asarray(l1, np.float32), np.asarray(l2, np.float32),
+            rtol=2e-2, atol=2e-2)
+
+    def test_fused_quantized_w4(self, dense_model):
+        from quantizers_tpu.models.transformer import fuse_for_decode
+        from quantizers_tpu.ops.linear import from_quantized
+
+        spec, params = dense_model
+        scheme = PRESET_SCHEMES["W4A16_G32"]
+
+        def q(obj):
+            if isinstance(obj, QuantLinear) and obj.kind == "dense":
+                w_nk = np.asarray(obj.weight, np.float32).T
+                return from_quantized(quantize(jnp.asarray(w_nk), scheme.weights),
+                                      scheme.weights, bias=obj.bias)
+            return obj
+
+        qparams = jax.tree_util.tree_map(
+            q, params, is_leaf=lambda x: isinstance(x, QuantLinear))
+        fused = fuse_for_decode(spec, qparams)
+        assert fused["layers"][0]["qkv_proj"].kind == "w4"
+        ids = jnp.array([[3, 1, 4, 1]], dtype=jnp.int32)
+        l1, _ = forward(qparams, spec, ids)
+        l2, _ = forward(fused, spec, ids)
+        np.testing.assert_allclose(
+            np.asarray(l1, np.float32), np.asarray(l2, np.float32),
+            rtol=2e-2, atol=2e-2)
+
+    def test_kv_cache_decode_fused(self, dense_model):
+        from quantizers_tpu.models.transformer import fuse_for_decode
+
+        spec, params = dense_model
+        fused = fuse_for_decode(spec, params)
+        ids = jnp.array([[5, 6, 7, 8]], dtype=jnp.int32)
+        full, _ = forward(params, spec, ids)
+        caches = KVCache.init(spec, 1, 8)
+        pre, caches = forward(fused, spec, ids[:, :3], caches=caches)
+        step, _ = forward(fused, spec, ids[:, 3:4], caches=caches)
+        np.testing.assert_allclose(
+            np.asarray(step[:, 0], np.float32), np.asarray(full[:, 3], np.float32),
+            rtol=2e-2, atol=2e-2)
+
+
 class TestQuantizedModel:
     def test_w4_model_close_to_dense(self, dense_model):
         spec, params = dense_model
