@@ -103,7 +103,9 @@ def main() -> None:
             num_kv_heads=8, head_dim=128, intermediate_size=9728,
             qk_norm=True, tie_word_embeddings=True, model_type="qwen3",
         )
-        B, T_prefill, steps, max_len = 8, 128, 32, 512
+        # steps high enough to dilute the ~27 ms constant tunnel dispatch
+        # overhead per timed call to <3% (see memory: axon-tpu-quirks #4)
+        B, T_prefill, steps, max_len = 8, 128, 256, 512
         kind = "qwen3_4b"
     else:
         spec = ModelSpec.tiny(num_layers=2, hidden_size=128, num_heads=8,
@@ -112,8 +114,11 @@ def main() -> None:
         B, T_prefill, steps, max_len = 2, 16, 8, 64
         kind = "tiny_cpu_fallback"
 
+    from quantizers_tpu.models.transformer import fuse_for_decode
+
     t0 = time.time()
     params = build_params(spec, jax.random.PRNGKey(0))
+    params = fuse_for_decode(spec, params)  # qkv/gateup fused serving layout
     params = jax.block_until_ready(params)
     wbytes = weight_bytes(params)
     log(f"params built in {time.time()-t0:.1f}s; weights+scales {wbytes/1e9:.2f} GB")
