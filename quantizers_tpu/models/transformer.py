@@ -75,9 +75,15 @@ def apply_rope_interleaved(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.
 
 
 class KVCache(NamedTuple):
-    """Per-layer KV cache, (B, S_max, n_kv, head_dim); ``length`` holds
-    **per-row** fill lengths (B,) so rows decode at independent positions —
-    the substrate for continuous batching.
+    """Per-layer KV cache, **head-major** ``(B, n_kv, S_max, head_dim)``;
+    ``length`` holds **per-row** fill lengths (B,) so rows decode at
+    independent positions — the substrate for continuous batching.
+
+    Head-major layout is the TPU-native choice: the per-(row, head) slice
+    ``cache[b, h]`` is contiguous in HBM, so the decode-attention kernel
+    streams it with full-width DMAs and updates the current row in place
+    (``input_output_aliases``) instead of carrying a copied cache through
+    the scan.
 
     ``k_scale``/``v_scale`` support the FP8 KV-cache scheme
     (reference ``main_seed-oss-fp8-kv8.py:168-202``): when set, k/v are
@@ -101,8 +107,8 @@ class KVCache(NamedTuple):
              dtype=jnp.bfloat16, fp8: bool = False,
              k_scale: float = 1.0, v_scale: float = 1.0) -> List["KVCache"]:
         (hk, dk), (hv, dv) = spec.kv_cache_dims()
-        k_shape = (batch, max_len, hk, dk)
-        v_shape = (batch, max_len, hv, dv)
+        k_shape = (batch, hk, max_len, dk)
+        v_shape = (batch, hv, max_len, dv)
         caches = []
         for _ in range(spec.num_layers):
             if fp8:
@@ -124,14 +130,16 @@ class KVCache(NamedTuple):
 
 def _store(cache_arr: jax.Array, new: jax.Array, offsets: jax.Array,
            scale: Optional[jax.Array]) -> jax.Array:
-    """Write new (B, T, KV, hd) at per-row offsets (B,)."""
+    """Write new (B, T, KV, hd) into the head-major cache (B, KV, S, hd)
+    at per-row offsets (B,)."""
     if scale is not None:
         new = (new.astype(jnp.float32) / scale).astype(cache_arr.dtype)
     else:
         new = new.astype(cache_arr.dtype)
+    new_hm = jnp.swapaxes(new, 1, 2)  # (B, KV, T, hd)
     return jax.vmap(
-        lambda c, n, off: jax.lax.dynamic_update_slice(c, n, (off, 0, 0))
-    )(cache_arr, new, offsets)
+        lambda c, n, off: jax.lax.dynamic_update_slice(c, n, (0, off, 0))
+    )(cache_arr, new_hm, offsets)
 
 
 def _read(cache_arr: jax.Array, scale: Optional[jax.Array], dtype) -> jax.Array:
@@ -147,10 +155,11 @@ def _read(cache_arr: jax.Array, scale: Optional[jax.Array], dtype) -> jax.Array:
 def _cache_and_mask(cache: Optional[KVCache], k: jax.Array, v: jax.Array,
                     positions: jax.Array, dtype
                     ) -> Tuple[jax.Array, jax.Array, jax.Array, Optional[KVCache]]:
-    """Append new k/v to the cache (per-row offsets) and build the causal
-    mask over the full (possibly cached) key axis.
+    """Append new k/v (B, T, KV, hd) to the head-major cache and build the
+    causal mask over the full (possibly cached) key axis.
 
-    Returns ``(k_att, v_att, mask (B|1, T, S), new_cache)``.
+    Returns ``(k_att, v_att, mask (B|1, T, S), new_cache)`` with
+    k_att/v_att in head-major (B, KV, S, hd).
     """
     T = k.shape[1]
     if cache is not None:
@@ -160,13 +169,13 @@ def _cache_and_mask(cache: Optional[KVCache], k: jax.Array, v: jax.Array,
         new_cache = cache._replace(k=k_all, v=v_all, length=off + T)
         k_att = _read(k_all, cache.k_scale, dtype)
         v_att = _read(v_all, cache.v_scale, dtype)
-        S = k_att.shape[1]
+        S = k_att.shape[2]
         kv_pos = jnp.arange(S)[None, :]  # (1, S)
         mask = kv_pos[None, :, :] <= positions[:, :, None]  # (B, T, S)
         return k_att, v_att, mask, new_cache
     idx = jnp.arange(T)
     mask = (idx[None, :, None] >= idx[None, None, :])  # (1, T, S) causal
-    return k, v, mask, None
+    return jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2), mask, None
 
 
 def attention(layer: Dict[str, Any], spec: ModelSpec, x: jax.Array,
@@ -200,19 +209,38 @@ def attention(layer: Dict[str, Any], spec: ModelSpec, x: jax.Array,
         capture["k_cache"] = k
         capture["v_cache"] = v
 
+    rep = H // KV
+    if cache is not None and T == 1:
+        # Decode fast path: Pallas kernel streams the head-major cache and
+        # writes the new row IN PLACE (aliased buffers) — no cache copy in
+        # the scan carry. Assumes the standard decode invariant
+        # positions == cache.length (write position == mask bound).
+        from ..ops import kernels as _kernels
+
+        try:
+            ctx4, k_new, v_new = _kernels.decode_attention(
+                q[:, 0].reshape(B, KV, rep, hd), k[:, 0], v[:, 0],
+                cache.k, cache.v, cache.length, 1.0 / np.sqrt(hd))
+            new_cache = cache._replace(k=k_new, v=v_new, length=cache.length + 1)
+            ctx = ctx4.reshape(B, 1, H * hd)
+            if capture is not None:
+                capture["o_proj"] = ctx
+            return layer["o_proj"].apply(ctx), new_cache
+        except _kernels.KernelUnsupported:
+            pass
+
     k_att, v_att, mask, new_cache = _cache_and_mask(cache, k, v, positions, x.dtype)
 
     # GQA without materializing repeated KV: fold the head-group axis into
     # the query side (a jnp.repeat here would stream rep× the KV cache out
     # of HBM every decode step — the dominant cost at small batch).
-    rep = H // KV
     qg = q.reshape(B, T, KV, rep, hd)
-    scores = jnp.einsum("btkrd,bskd->bkrts", qg, k_att,
+    scores = jnp.einsum("btkrd,bksd->bkrts", qg, k_att,
                         preferred_element_type=jnp.float32)
     scores = scores * (1.0 / np.sqrt(hd))
     scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    ctx = jnp.einsum("bkrts,bskd->btkrd", probs, v_att)
+    ctx = jnp.einsum("bkrts,bksd->btkrd", probs, v_att)
     ctx = ctx.reshape(B, T, H * hd)
 
     if capture is not None:
@@ -271,12 +299,12 @@ def mla_attention(layer: Dict[str, Any], spec: ModelSpec, x: jax.Array,
 
     k_att, v_att, mask, new_cache = _cache_and_mask(cache, k, v, positions, x.dtype)
 
-    scores = jnp.einsum("bthd,bshd->bhts", q, k_att,
+    scores = jnp.einsum("bthd,bhsd->bhts", q, k_att,
                         preferred_element_type=jnp.float32)
     scores = scores * (1.0 / np.sqrt(dq))
     scores = jnp.where(mask[:, None, :, :], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    ctx = jnp.einsum("bhts,bshd->bthd", probs, v_att).reshape(B, T, H * dv)
+    ctx = jnp.einsum("bhts,bhsd->bthd", probs, v_att).reshape(B, T, H * dv)
 
     if capture is not None:
         capture["o_proj"] = ctx

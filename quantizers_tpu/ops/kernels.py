@@ -67,12 +67,15 @@ def _pick_tiles(k_rows: int, n: int, row_quantum: int,
         bn -= n_quantum
         while bn > n_quantum and n % bn:
             bn -= n_quantum
-    best = row_quantum
+    best = 0
     r = row_quantum
     while r <= k_rows:
         if k_rows % r == 0 and r * bn <= _W_TILE_BYTES:
             best = r
         r += row_quantum
+    if best == 0:
+        raise KernelUnsupported(
+            f"no valid tiling for ({k_rows}, {n}) with row quantum {row_quantum}")
     return best, bn
 
 
@@ -97,14 +100,20 @@ def _pad_m(x2: jax.Array, bm: int) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def _w4_kernel(x_lo, x_hi, w_ref, s_lo, s_hi, o_ref, acc, *, g: int, bk2: int, n_k: int):
-    """VPU-minimal dequant: the packed payload stores ``value + 8`` in
-    [0, 15], so instead of subtracting 8 per weight (a VPU op over the whole
-    K×N weight volume) we matmul the *unshifted* codes and subtract the
-    offset analytically:  x @ ((c-8)·s) == x @ (c·s) − (Σ_{k∈g} x_k)·(8·s_g).
-    The correction is a (bm, groups)@(groups, bn) dot — MXU work, ~g× smaller
-    than the main dot. Per weight the VPU does only mask/shift + cvt + scale
-    (≈3 ops vs ≈6 for the naive path); decode on v5e is VPU-bound on this
-    dequant, so this is nearly a 2× step-time win at small batch.
+    """VPU-minimal dequant, per-group-dot formulation (fastest of the
+    measured variants — see benchmarks/kernel_lab.py):
+
+    * the packed payload stores ``value + 8`` in [0, 15]; the kernel dots
+      the *unshifted* codes group by group and applies the group scale to
+      the (bm, bn) f32 partial — so per weight the VPU does only
+      mask-or-shift + cvt (the scale multiply touches the g×-smaller
+      partial, and there is no reshape-broadcast relayout, which measured
+      ~2× slower than this form);
+    * the +8 storage offset is removed analytically,
+      ``x @ ((c-8)·s) == x @ (c·s) − (Σ_{k∈g} x_k)·(8·s_g)``, with the
+      group sums computed by an MXU dot against an iota indicator matrix
+      (Mosaic cannot lane-split reshape x) and the correction applied in
+      f32 — strictly better precision than dequantize-then-dot in bf16.
     """
     ki = pl.program_id(2)
 
@@ -112,32 +121,28 @@ def _w4_kernel(x_lo, x_hi, w_ref, s_lo, s_hi, o_ref, acc, *, g: int, bk2: int, n
     def _zero():
         acc[:] = jnp.zeros_like(acc)
 
-    # widen to i32 before any arithmetic: Mosaic (v5e) legalizes neither
-    # vector<i8> subtraction nor direct u8->f32 casts. The u8->i32 widen is
-    # zero-extending, so the high plane needs no mask after the shift.
-    packed = w_ref[:].astype(jnp.int32)
     gcount = bk2 // g
 
-    # group-membership indicator (bk2, gcount): x @ G = per-group x sums.
-    # Mosaic can't lane-split reshape x (bm, bk2) -> (bm, gcount, g), so the
-    # group reduction rides the MXU instead of the VPU.
+    # group-membership indicator (bk2, gcount) for the per-group x sums.
     rows = jax.lax.broadcasted_iota(jnp.int32, (bk2, gcount), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (bk2, gcount), 1)
     G = (rows // g == cols).astype(jnp.bfloat16)
 
-    def plane(x_ref, codes_i32, s_ref):
-        codes = codes_i32.astype(jnp.bfloat16)           # exact: 0..15
-        s = s_ref[:].astype(jnp.bfloat16)                # (gcount, bn)
-        w = (codes.reshape(gcount, g, -1) * s[:, None, :]).reshape(bk2, -1)
+    for x_ref, shift, s_ref in ((x_lo, 0, s_lo), (x_hi, 4, s_hi)):
         x = x_ref[:]
-        acc[:] += jnp.dot(x, w, preferred_element_type=jnp.float32)
+        s = s_ref[:].astype(jnp.float32)  # (gcount, bn)
+        for gi in range(gcount):
+            # widen to i32 before bit-ops: Mosaic (v5e) legalizes neither
+            # vector<i8> arithmetic nor direct u8->float casts. The widen
+            # zero-extends, so the high nibble needs no mask after >>4.
+            blk = w_ref[gi * g:(gi + 1) * g, :].astype(jnp.int32)
+            codes = ((blk >> shift).astype(jnp.bfloat16) if shift
+                     else (blk & 0x0F).astype(jnp.bfloat16))
+            part = jnp.dot(x[:, gi * g:(gi + 1) * g], codes,
+                           preferred_element_type=jnp.float32)
+            acc[:] += part * s[gi:gi + 1, :]
         xg = jnp.dot(x, G, preferred_element_type=jnp.float32)  # (bm, gcount)
-        acc[:] += jnp.dot(xg.astype(jnp.bfloat16),
-                          s * jnp.bfloat16(-8.0),
-                          preferred_element_type=jnp.float32)
-
-    plane(x_lo, packed & 0x0F, s_lo)
-    plane(x_hi, packed >> 4, s_hi)
+        acc[:] += jnp.dot(xg, s * -8.0, preferred_element_type=jnp.float32)
 
     @pl.when(ki == n_k - 1)
     def _write():
@@ -459,3 +464,145 @@ KERNELS = {
     "fp8": fp8_matmul,
     "nvfp4": nvfp4_matmul,
 }
+
+
+# ---------------------------------------------------------------------------
+# Decode attention with in-place KV-cache update
+# ---------------------------------------------------------------------------
+
+def _dec_attn_kernel(len_ref, q_ref, nk_ref, nv_ref, kc_ref, vc_ref,
+                     ctx_ref, ko_ref, vo_ref,
+                     kbuf, vbuf, k8, v8, sk, sv, swk, swv,
+                     *, S: int, sm_scale: float):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    L = len_ref[b]
+    # aligned 8-row window containing L — Mosaic only allows HBM slices at
+    # provable sublane multiples, so the in-place row write is an aligned
+    # 8-row read-modify-write (~4 KB, negligible next to the strip read)
+    A = pl.multiple_of((L // 8) * 8, 8)
+
+    ck = pltpu.make_async_copy(kc_ref.at[b, h], kbuf, sk)
+    cv = pltpu.make_async_copy(vc_ref.at[b, h], vbuf, sv)
+    ck.start()
+    cv.start()
+    rk = pltpu.make_async_copy(ko_ref.at[b, h, pl.ds(A, 8)], k8, swk)
+    rv = pltpu.make_async_copy(vo_ref.at[b, h, pl.ds(A, 8)], v8, swv)
+    rk.start()
+    rv.start()
+
+    new_k = nk_ref[0, 0, 0]  # (dk,)
+    new_v = nv_ref[0, 0, 0]  # (dv,)
+
+    rk.wait()
+    rv.wait()
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    k8[:] = jnp.where(sub == L - A, new_k, k8[:])
+    v8[:] = jnp.where(sub == L - A, new_v, v8[:])
+    wk = pltpu.make_async_copy(k8, ko_ref.at[b, h, pl.ds(A, 8)], swk)
+    wv = pltpu.make_async_copy(v8, vo_ref.at[b, h, pl.ds(A, 8)], swv)
+    wk.start()
+    wv.start()
+
+    ck.wait()
+    cv.wait()
+    # merge the current row at register level (the strip predates the write)
+    row = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+    k_use = jnp.where(row == L, new_k, kbuf[:])
+    v_use = jnp.where(row == L, new_v, vbuf[:])
+
+    q = q_ref[0, 0]  # (rep, dk)
+    scores = jax.lax.dot_general(
+        q, k_use, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale  # (rep, S)
+    mask = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1) <= L
+    scores = jnp.where(mask, scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v_use.dtype)
+    ctx = jnp.dot(probs, v_use, preferred_element_type=jnp.float32)
+    ctx_ref[0, 0] = ctx.astype(ctx_ref.dtype)
+
+    wk.wait()
+    wv.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
+def _decode_attention_call(q, new_k, new_v, cache_k, cache_v, lengths,
+                           *, sm_scale, interpret):
+    B, KV, rep, dk = q.shape
+    S = cache_k.shape[2]
+    dv = cache_v.shape[3]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, KV),
+        in_specs=[
+            pl.BlockSpec((1, 1, rep, dk), lambda b, h, *_: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # new rows as (B, KV, 1, hd) VMEM blocks (block dims equal the
+            # array dims, satisfying the last-two-dims tiling rule)
+            pl.BlockSpec((1, 1, 1, dk), lambda b, h, *_: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, dv), lambda b, h, *_: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, rep, dv), lambda b, h, *_: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((S, dk), cache_k.dtype),
+            pltpu.VMEM((S, dv), cache_v.dtype),
+            pltpu.VMEM((8, dk), cache_k.dtype),
+            pltpu.VMEM((8, dv), cache_v.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    ctx, k_out, v_out = pl.pallas_call(
+        functools.partial(_dec_attn_kernel, S=S, sm_scale=sm_scale),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, KV, rep, dv), q.dtype),
+            jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
+            jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
+        ],
+        # inputs are numbered with the scalar-prefetch operand first:
+        # 0=lengths 1=q 2=new_k 3=new_v 4=cache_k 5=cache_v
+        input_output_aliases={4: 1, 5: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(lengths, q, new_k, new_v, cache_k, cache_v)
+    return ctx, k_out, v_out
+
+
+def decode_attention(q, new_k, new_v, cache_k, cache_v, lengths,
+                     sm_scale: float, interpret: Optional[bool] = None):
+    """One-token GQA/MHA attention over a head-major KV cache with the
+    new row written IN PLACE (``input_output_aliases``) — the decode loop
+    carries the same HBM buffers forever instead of copying ~the whole
+    cache every step (measured: any functional cache update costs ~2.5 ms
+    per 36-layer step at B=8, S=512; this kernel makes it ~free).
+
+    q (B, KV, rep, dk); new_k (B, KV, dk); new_v (B, KV, dv);
+    cache_k (B, KV, S, dk); cache_v (B, KV, S, dv); lengths (B,) int32 —
+    write position per row; attention admits positions <= lengths.
+    Returns (ctx (B, KV, rep, dv), k_cache', v_cache').
+    """
+    if cache_k.dtype != q.dtype:
+        raise KernelUnsupported("fp8/mixed-dtype kv-cache decode goes through the XLA path")
+    B, KV, rep, dk = q.shape
+    if dk % 128 or cache_v.shape[3] % 128:
+        raise KernelUnsupported("decode_attention needs 128|head_dim")
+    if cache_k.shape[2] % 8:
+        raise KernelUnsupported("decode_attention needs 8|S (aligned RMW window)")
+    return _decode_attention_call(
+        q, new_k[:, :, None, :], new_v[:, :, None, :], cache_k, cache_v,
+        lengths.astype(jnp.int32), sm_scale=float(sm_scale),
+        interpret=_interpret() if interpret is None else interpret)

@@ -177,14 +177,14 @@ def activation_pspec(mesh: Mesh, ndim: int = 3) -> P:
 
 
 def kv_cache_pspecs(mesh: Mesh) -> Any:
-    """KV cache (B, S, H_kv, hd): batch over dp, heads over tp."""
+    """KV cache (B, H_kv, S, hd) head-major: batch over dp, heads over tp."""
     dp = "dp" if "dp" in mesh.axis_names else None
     tp = _tp(mesh)
     from ..models.transformer import KVCache
 
     return KVCache(
-        k=P(dp, None, tp, None),
-        v=P(dp, None, tp, None),
+        k=P(dp, tp, None, None),
+        v=P(dp, tp, None, None),
         length=P(),
         k_scale=None,
         v_scale=None,

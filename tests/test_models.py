@@ -183,8 +183,8 @@ class TestMLA:
         full, _ = forward(params, spec, ids)
         caches = KVCache.init(spec, batch=1, max_len=16)
         # MLA cache shapes: K carries nope+rope dims, V carries v_head_dim
-        assert caches[0].k.shape == (1, 16, spec.num_heads, spec.qk_head_dim)
-        assert caches[0].v.shape == (1, 16, spec.num_heads, spec.v_head_dim)
+        assert caches[0].k.shape == (1, spec.num_heads, 16, spec.qk_head_dim)
+        assert caches[0].v.shape == (1, spec.num_heads, 16, spec.v_head_dim)
         pre, caches = forward(params, spec, ids[:, :4], caches=caches)
         np.testing.assert_allclose(
             np.asarray(pre, np.float32), np.asarray(full[:, :4], np.float32),

@@ -4,6 +4,8 @@ kernels in interpret mode vs the XLA oracle."""
 import numpy as np
 import pytest
 
+import jax
+
 import jax.numpy as jnp
 
 from quantizers_tpu.core import (
@@ -116,14 +118,29 @@ class TestPallasInterpret:
         self._check(from_quantized(qt, W4_ARGS), 512)
 
     def test_w4_kernel_3d_input(self):
-        w = rand((128, 256), seed=22)
+        w = rand((128, 512), seed=22)
         qt = quantize(w, W4_ARGS)
         lin = from_quantized(qt, W4_ARGS)
-        x = rand((2, 3, 256), seed=23)
+        x = rand((2, 3, 512), seed=23)
         ref = np.asarray(xla_quant_matmul(x, lin), dtype=np.float32)
         got = np.asarray(K.w4_matmul(x, lin, interpret=True), dtype=np.float32)
         assert got.shape == (2, 3, 128)
         assert np.abs(got - ref).max() < 0.35
+
+    def test_w4_kernel_small_k_falls_back(self):
+        """K too small for the TPU scale-tile row quantum -> the dispatcher
+        must fall back to the XLA path rather than mis-tile."""
+        from quantizers_tpu.ops.dispatch import quant_matmul
+
+        w = rand((128, 256), seed=22)
+        qt = quantize(w, W4_ARGS)
+        lin = from_quantized(qt, W4_ARGS)
+        x = rand((2, 256), seed=23)
+        with pytest.raises(K.KernelUnsupported):
+            K.w4_matmul(x, lin, interpret=True)
+        ref = np.asarray(xla_quant_matmul(x, lin), dtype=np.float32)
+        got = np.asarray(quant_matmul(x, lin), dtype=np.float32)
+        np.testing.assert_allclose(got, ref, rtol=1e-2, atol=1e-2)
 
     def test_fp8_kernel(self):
         args = PRESET_SCHEMES["FP8_BLOCK"].weights
@@ -159,3 +176,67 @@ class TestPallasInterpret:
         x = rand((2, 96), seed=30)
         y = lin.apply(x)  # CPU -> XLA path regardless
         assert y.shape == (2, 100)
+
+
+class TestDecodeAttention:
+    """In-place decode attention kernel vs the XLA reference math."""
+
+    def _reference(self, q, nk, nv, ck, cv, lengths):
+        B, KV, rep, hd = q.shape
+        S = ck.shape[2]
+        k_all = np.array(ck)
+        v_all = np.array(cv)
+        ctx = np.zeros((B, KV, rep, cv.shape[3]), np.float32)
+        for b in range(B):
+            L = int(lengths[b])
+            k_all[b, :, L] = nk[b]
+            v_all[b, :, L] = nv[b]
+            for h in range(KV):
+                for r in range(rep):
+                    s = (k_all[b, h, : L + 1].astype(np.float32)
+                         @ np.asarray(q[b, h, r], np.float32)) / np.sqrt(hd)
+                    p = np.exp(s - s.max()); p /= p.sum()
+                    ctx[b, h, r] = p @ v_all[b, h, : L + 1].astype(np.float32)
+        return ctx, k_all, v_all
+
+    def test_matches_reference(self):
+        from quantizers_tpu.ops.kernels import decode_attention
+
+        rng = np.random.default_rng(0)
+        B, KV, rep, hd, S = 2, 2, 2, 128, 16
+        q = jnp.asarray(rng.standard_normal((B, KV, rep, hd)), jnp.bfloat16)
+        nk = jnp.asarray(rng.standard_normal((B, KV, hd)), jnp.bfloat16)
+        nv = jnp.asarray(rng.standard_normal((B, KV, hd)), jnp.bfloat16)
+        ck = jnp.asarray(rng.standard_normal((B, KV, S, hd)), jnp.bfloat16)
+        cv = jnp.asarray(rng.standard_normal((B, KV, S, hd)), jnp.bfloat16)
+        lengths = jnp.asarray([3, 7], jnp.int32)
+
+        ctx, k2, v2 = decode_attention(q, nk, nv, ck, cv, lengths,
+                                       1.0 / np.sqrt(hd), interpret=True)
+        ref_ctx, ref_k, ref_v = self._reference(
+            np.asarray(q, np.float32), np.asarray(nk, np.float32),
+            np.asarray(nv, np.float32), np.asarray(ck, np.float32),
+            np.asarray(cv, np.float32), np.asarray(lengths))
+        np.testing.assert_allclose(np.asarray(ctx, np.float32), ref_ctx,
+                                   rtol=3e-2, atol=3e-2)
+        np.testing.assert_allclose(np.asarray(k2, np.float32), ref_k,
+                                   rtol=1e-2, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(v2, np.float32), ref_v,
+                                   rtol=1e-2, atol=1e-2)
+
+    def test_model_decode_uses_same_math(self):
+        """forward() decode with hd=128 (kernel-eligible shapes) matches the
+        full-context forward on CPU interpret mode."""
+        from quantizers_tpu.models import ModelSpec, forward, init_params, KVCache
+
+        spec = ModelSpec.tiny(num_heads=2, num_kv_heads=1, head_dim=128,
+                              hidden_size=256, intermediate_size=128)
+        params = init_params(spec, jax.random.PRNGKey(0))
+        ids = jnp.array([[1, 5, 9, 2]], dtype=jnp.int32)
+        full, _ = forward(params, spec, ids)
+        caches = KVCache.init(spec, 1, 8)
+        _, caches = forward(params, spec, ids[:, :3], caches=caches)
+        step, _ = forward(params, spec, ids[:, 3:4], caches=caches)
+        np.testing.assert_allclose(
+            np.asarray(step[:, 0], np.float32), np.asarray(full[:, 3], np.float32),
+            rtol=3e-2, atol=3e-2)
