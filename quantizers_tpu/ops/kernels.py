@@ -48,12 +48,12 @@ def _cdiv(a: int, b: int) -> int:
 
 
 # Weight-tile budget. Decode-time quantized matmuls are HBM-streaming with
-# tiny M; the limiter is per-grid-step overhead (DMA issue + pipeline
-# bubbles), so tiles should be as large as the 16 MB scoped-VMEM budget
-# allows. The dequant intermediates (i32 widen + bf16 codes + bf16 scaled
-# weights) cost ~8x the u8 tile bytes on the Mosaic stack, which caps the
-# packed tile near 1 MB.
-_W_TILE_BYTES = 1 << 20
+# tiny M. Measured on v5e (benchmarks/kernel_lab.py): full-row contiguous
+# tiles around 2.5 MB stream at ~775 GB/s (95% of peak) while strided
+# sub-row tiles peak near 500-590 GB/s — so the picker prefers bn == n and
+# the budget admits (256, 9728)-class tiles. The dequant intermediates on
+# the Mosaic stack bound it from above (scoped VMEM is 16 MB).
+_W_TILE_BYTES = 2_600_000
 
 
 def _pick_tiles(k_rows: int, n: int, row_quantum: int,
