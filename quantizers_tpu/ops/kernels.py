@@ -473,53 +473,65 @@ KERNELS = {
 def _dec_attn_kernel(len_ref, q_ref, nk_ref, nv_ref, kc_ref, vc_ref,
                      ctx_ref, ko_ref, vo_ref,
                      kbuf, vbuf, k8, v8, sk, sv, swk, swv,
-                     *, S: int, sm_scale: float):
+                     *, S: int, KV: int, rep: int, sm_scale: float):
+    """One grid step per batch row: ALL heads' strips move in one
+    contiguous (KV, S, hd) DMA (per-(b,h) gridding measured ~1 µs/step of
+    pure overhead — 2304 steps/model-step ≈ 2.9 ms), and all heads'
+    attention runs as ONE flattened (KV·rep, KV·S) dot with a
+    block-diagonal head mask, so the MXU sees two big matmuls instead of
+    2·KV small ones. Cross-head score blocks are masked to -inf and
+    contribute zeros through the value dot.
+    """
     b = pl.program_id(0)
-    h = pl.program_id(1)
     L = len_ref[b]
     # aligned 8-row window containing L — Mosaic only allows HBM slices at
     # provable sublane multiples, so the in-place row write is an aligned
-    # 8-row read-modify-write (~4 KB, negligible next to the strip read)
+    # 8-row read-modify-write (~KV·4 KB, negligible next to the strip read)
     A = pl.multiple_of((L // 8) * 8, 8)
 
-    ck = pltpu.make_async_copy(kc_ref.at[b, h], kbuf, sk)
-    cv = pltpu.make_async_copy(vc_ref.at[b, h], vbuf, sv)
+    ck = pltpu.make_async_copy(kc_ref.at[b], kbuf, sk)
+    cv = pltpu.make_async_copy(vc_ref.at[b], vbuf, sv)
     ck.start()
     cv.start()
-    rk = pltpu.make_async_copy(ko_ref.at[b, h, pl.ds(A, 8)], k8, swk)
-    rv = pltpu.make_async_copy(vo_ref.at[b, h, pl.ds(A, 8)], v8, swv)
+    rk = pltpu.make_async_copy(ko_ref.at[b, :, pl.ds(A, 8)], k8, swk)
+    rv = pltpu.make_async_copy(vo_ref.at[b, :, pl.ds(A, 8)], v8, swv)
     rk.start()
     rv.start()
 
-    new_k = nk_ref[0, 0, 0]  # (dk,)
-    new_v = nv_ref[0, 0, 0]  # (dv,)
+    new_k = nk_ref[0]  # (KV, 1, dk)
+    new_v = nv_ref[0]  # (KV, 1, dv)
 
     rk.wait()
     rv.wait()
-    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
     k8[:] = jnp.where(sub == L - A, new_k, k8[:])
     v8[:] = jnp.where(sub == L - A, new_v, v8[:])
-    wk = pltpu.make_async_copy(k8, ko_ref.at[b, h, pl.ds(A, 8)], swk)
-    wv = pltpu.make_async_copy(v8, vo_ref.at[b, h, pl.ds(A, 8)], swv)
+    wk = pltpu.make_async_copy(k8, ko_ref.at[b, :, pl.ds(A, 8)], swk)
+    wv = pltpu.make_async_copy(v8, vo_ref.at[b, :, pl.ds(A, 8)], swv)
     wk.start()
     wv.start()
 
     ck.wait()
     cv.wait()
-    # merge the current row at register level (the strip predates the write)
-    row = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
-    k_use = jnp.where(row == L, new_k, kbuf[:])
-    v_use = jnp.where(row == L, new_v, vbuf[:])
+    # merge the current token's row at register level (the strip read ran
+    # concurrently with the RMW write-back)
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1)
+    dk = kbuf.shape[-1]
+    dv = vbuf.shape[-1]
+    k_use = jnp.where(row == L, new_k, kbuf[:]).reshape(KV * S, dk)
+    v_use = jnp.where(row == L, new_v, vbuf[:]).reshape(KV * S, dv)
 
-    q = q_ref[0, 0]  # (rep, dk)
+    q = q_ref[0].reshape(KV * rep, dk)
     scores = jax.lax.dot_general(
         q, k_use, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * sm_scale  # (rep, S)
-    mask = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1) <= L
-    scores = jnp.where(mask, scores, -1e30)
+        preferred_element_type=jnp.float32) * sm_scale  # (KV*rep, KV*S)
+    r_head = jax.lax.broadcasted_iota(jnp.int32, (KV * rep, KV * S), 0) // rep
+    col = jax.lax.broadcasted_iota(jnp.int32, (KV * rep, KV * S), 1)
+    allow = (r_head == col // S) & (col % S <= L)
+    scores = jnp.where(allow, scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1).astype(v_use.dtype)
     ctx = jnp.dot(probs, v_use, preferred_element_type=jnp.float32)
-    ctx_ref[0, 0] = ctx.astype(ctx_ref.dtype)
+    ctx_ref[0] = ctx.reshape(KV, rep, dv).astype(ctx_ref.dtype)
 
     wk.wait()
     wv.wait()
@@ -534,30 +546,30 @@ def _decode_attention_call(q, new_k, new_v, cache_k, cache_v, lengths,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, KV),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 1, rep, dk), lambda b, h, *_: (b, h, 0, 0),
+            pl.BlockSpec((1, KV, rep, dk), lambda b, *_: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             # new rows as (B, KV, 1, hd) VMEM blocks (block dims equal the
             # array dims, satisfying the last-two-dims tiling rule)
-            pl.BlockSpec((1, 1, 1, dk), lambda b, h, *_: (b, h, 0, 0),
+            pl.BlockSpec((1, KV, 1, dk), lambda b, *_: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, dv), lambda b, h, *_: (b, h, 0, 0),
+            pl.BlockSpec((1, KV, 1, dv), lambda b, *_: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, rep, dv), lambda b, h, *_: (b, h, 0, 0),
+            pl.BlockSpec((1, KV, rep, dv), lambda b, *_: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((S, dk), cache_k.dtype),
-            pltpu.VMEM((S, dv), cache_v.dtype),
-            pltpu.VMEM((8, dk), cache_k.dtype),
-            pltpu.VMEM((8, dv), cache_v.dtype),
+            pltpu.VMEM((KV, S, dk), cache_k.dtype),
+            pltpu.VMEM((KV, S, dv), cache_v.dtype),
+            pltpu.VMEM((KV, 8, dk), cache_k.dtype),
+            pltpu.VMEM((KV, 8, dv), cache_v.dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -565,7 +577,8 @@ def _decode_attention_call(q, new_k, new_v, cache_k, cache_v, lengths,
         ],
     )
     ctx, k_out, v_out = pl.pallas_call(
-        functools.partial(_dec_attn_kernel, S=S, sm_scale=sm_scale),
+        functools.partial(_dec_attn_kernel, S=S, KV=KV, rep=rep,
+                          sm_scale=sm_scale),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, KV, rep, dv), q.dtype),
@@ -576,7 +589,7 @@ def _decode_attention_call(q, new_k, new_v, cache_k, cache_v, lengths,
         # 0=lengths 1=q 2=new_k 3=new_v 4=cache_k 5=cache_v
         input_output_aliases={4: 1, 5: 2},
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(lengths, q, new_k, new_v, cache_k, cache_v)
     return ctx, k_out, v_out
