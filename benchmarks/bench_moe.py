@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""MoE NVFP4 decode benchmark (second north-star config, BASELINE.md).
+
+Qwen3-30B-A3B per-layer geometry (D=2048, E=128 experts, top-8, Fe=768,
+32 q-heads / 4 kv-heads, hd=128) with the layer count scaled down so the
+NVFP4 weights fit one v5e chip's HBM — per-layer timings extrapolate
+linearly to the full 48-layer model (decode is weight-bandwidth-bound).
+
+Two decode paths are timed:
+  gathered — production path: only routed experts' weights leave HBM
+             (traffic/layer = B*top_k expert blocks)
+  dense    — all-expert scan (calibration semantics; reads all E experts)
+
+Roofline accounting for the gathered path counts attention weights +
+B*top_k routed expert payloads + router + KV window.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+sys.path.insert(0, ".")
+from bench import HBM_GBPS, make_w4_linear, weight_bytes  # noqa: E402
+
+from quantizers_tpu.models import KVCache, ModelSpec  # noqa: E402
+from quantizers_tpu.models.moe import ExpertLinears  # noqa: E402
+from quantizers_tpu.ops.linear import QuantLinear  # noqa: E402
+from quantizers_tpu.serve.engine import _decode_scan, prefill  # noqa: E402
+
+B, T_PREFILL, STEPS, MAX_LEN = 8, 128, 128, 512
+LAYERS = 8  # of 48; per-layer cost extrapolates (bandwidth-bound)
+
+SPEC = ModelSpec(
+    vocab_size=151936, hidden_size=2048, num_layers=LAYERS, num_heads=32,
+    num_kv_heads=4, head_dim=128, intermediate_size=6144,
+    qk_norm=True, tie_word_embeddings=True,
+    num_experts=128, num_experts_per_tok=8, moe_intermediate_size=768,
+    norm_topk_prob=True, model_type="qwen3_moe",
+)
+
+
+def make_nvfp4_experts(key, e: int, k: int, n: int, g: int = 16) -> ExpertLinears:
+    kw, ks = jax.random.split(key)
+    codes = jax.random.bits(kw, (e, k // 2, n), dtype=jnp.uint8)
+    scale = jnp.full((e, k // g, n), 0.01, jnp.bfloat16)
+    return ExpertLinears(kind="nvfp4", weight=codes, scale=scale,
+                         meta=(("k", k), ("n", n), ("group_size", g)))
+
+
+def build_params(spec, key):
+    D, Fe, E = spec.hidden_size, spec.moe_intermediate_size, spec.num_experts
+    layers = []
+    keys = jax.random.split(key, spec.num_layers + 1)
+    for i in range(spec.num_layers):
+        ks = jax.random.split(keys[i], 8)
+        layer = {
+            "input_layernorm": jnp.ones((D,), jnp.bfloat16),
+            "post_attention_layernorm": jnp.ones((D,), jnp.bfloat16),
+            "q_proj": make_w4_linear(ks[0], D, spec.q_dim),
+            "k_proj": make_w4_linear(ks[1], D, spec.kv_dim),
+            "v_proj": make_w4_linear(ks[2], D, spec.kv_dim),
+            "o_proj": make_w4_linear(ks[3], spec.q_dim, D),
+            "q_norm": jnp.ones((spec.head_dim,), jnp.bfloat16),
+            "k_norm": jnp.ones((spec.head_dim,), jnp.bfloat16),
+            "moe": {
+                "router": QuantLinear(
+                    kind="dense",
+                    weight=jax.random.normal(ks[4], (D, E), jnp.float32) * 0.02,
+                    meta=(("k", D), ("n", E))),
+                "gate_proj": make_nvfp4_experts(ks[5], E, D, Fe),
+                "up_proj": make_nvfp4_experts(ks[6], E, D, Fe),
+                "down_proj": make_nvfp4_experts(ks[7], E, Fe, D),
+            },
+        }
+        layers.append(layer)
+    embed = jax.random.normal(keys[-1], (spec.vocab_size, D), jnp.bfloat16) * 0.02
+    return {"embed": embed, "layers": layers, "final_norm": jnp.ones((D,), jnp.bfloat16),
+            "lm_head": None}
+
+
+def main():
+    backend = jax.default_backend()
+    on_tpu = backend in ("tpu", "axon")
+    log(f"backend={backend}")
+    spec = SPEC
+    if not on_tpu:
+        spec = ModelSpec.tiny(moe=True)
+        log("cpu fallback: tiny spec smoke only")
+
+    t0 = time.time()
+    params = build_params(spec, jax.random.PRNGKey(0)) if on_tpu else None
+    if not on_tpu:
+        from quantizers_tpu.models import init_params
+        params = init_params(spec, jax.random.PRNGKey(0))
+    params = jax.block_until_ready(params)
+    wbytes = weight_bytes(params)
+    log(f"params {wbytes/1e9:.2f} GB in {time.time()-t0:.0f}s")
+
+    caches = KVCache.init(spec, B, MAX_LEN)
+    ids = jnp.asarray((np.arange(B * T_PREFILL).reshape(B, T_PREFILL) * 97 + 1)
+                      % spec.vocab_size, jnp.int32)
+    last, caches = prefill(params, spec, ids, caches)
+    first = jnp.argmax(last, axis=-1).astype(jnp.int32)
+    log("prefill done")
+
+    key = jax.random.PRNGKey(1)
+    steps = STEPS if on_tpu else 8
+    t0 = time.time()
+    toks, _ = _decode_scan(params, spec, caches, first, key, steps=steps,
+                           temperature=0.0, top_k=0)
+    np.asarray(toks)
+    log(f"decode compile+first {time.time()-t0:.0f}s")
+    best = float("inf")
+    for i in range(3):
+        t0 = time.time()
+        toks, _ = _decode_scan(params, spec, caches, first + i, key, steps=steps,
+                               temperature=0.0, top_k=0)
+        np.asarray(toks)
+        best = min(best, time.time() - t0)
+        log(f"run {i}: {(time.time()-t0)*1e3:.0f} ms / {steps} steps")
+
+    tok_s = B * steps / best
+    # roofline (gathered): attention w4 + routed expert nvfp4 + embed head + kv
+    D, Fe, E, k = (spec.hidden_size, spec.moe_intermediate_size,
+                   spec.num_experts, spec.num_experts_per_tok)
+    expert_bytes = 3 * (D * Fe // 2 + (D // 16) * Fe * 2)  # nvfp4 payload+scales
+    attn_bytes = sum(l["q_proj"].weight.size + l["k_proj"].weight.size
+                     + l["v_proj"].weight.size + l["o_proj"].weight.size
+                     for l in params["layers"]) if on_tpu else 0
+    routed = spec.num_layers * min(B * k, E) * expert_bytes
+    kv_bytes = sum(c.k.size * c.k.dtype.itemsize * 2 for c in caches)
+    head_bytes = params["embed"].size * 2
+    per_step = attn_bytes + routed + kv_bytes + head_bytes
+    bw = HBM_GBPS.get(jax.devices()[0].device_kind, 819.0) * 1e9
+    roofline = B * bw / per_step
+    log(f"gathered roofline {roofline:.0f} tok/s ({per_step/1e9:.2f} GB/step)")
+    print(json.dumps({
+        "metric": f"decode_tokens_per_s_per_chip_moe{spec.num_layers}L_nvfp4",
+        "value": round(tok_s, 1),
+        "unit": "tok/s/chip",
+        "vs_baseline": round(tok_s / (0.9 * roofline), 3) if on_tpu else 0,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -63,7 +63,7 @@ from quantizers_tpu.models.transformer import (  # noqa: E402
 )
 from quantizers_tpu.serve.engine import prefill  # noqa: E402
 
-B, T_PREFILL, STEPS, MAX_LEN = 8, 128, 32, 512
+B, T_PREFILL, STEPS, MAX_LEN = 8, 128, 128, 512
 
 SPEC = ModelSpec(
     vocab_size=151936, hidden_size=2560, num_layers=36, num_heads=32,

@@ -103,6 +103,19 @@ def route_topk(router_logits: jax.Array, top_k: int, norm_topk_prob: bool,
     chosen k and scaled by ``routed_scaling_factor`` (the family behind the
     reference's GLM-Flash/MiniMax targets, `quant_GLM-4.7-Flash-FP8.py:15-22`).
     """
+    topi, topv = route_topk_sparse(router_logits, top_k, norm_topk_prob,
+                                   scoring_func, bias, routed_scaling_factor)
+    E = router_logits.shape[-1]
+    onehot = jax.nn.one_hot(topi, E, dtype=jnp.float32)  # (N, k, E)
+    return jnp.einsum("nk,nke->ne", topv, onehot)
+
+
+def route_topk_sparse(router_logits: jax.Array, top_k: int,
+                      norm_topk_prob: bool, scoring_func: str = "softmax",
+                      bias: Optional[jax.Array] = None,
+                      routed_scaling_factor: float = 1.0
+                      ) -> Tuple[jax.Array, jax.Array]:
+    """(N, E) logits -> (topi (N, k) int32, topv (N, k) f32)."""
     if scoring_func == "sigmoid":
         probs = jax.nn.sigmoid(router_logits.astype(jnp.float32))
     else:
@@ -112,10 +125,80 @@ def route_topk(router_logits: jax.Array, top_k: int, norm_topk_prob: bool,
     topv = jnp.take_along_axis(probs, topi, axis=-1)
     if norm_topk_prob:
         topv = topv / (jnp.sum(topv, axis=-1, keepdims=True) + 1e-20)
-    topv = topv * routed_scaling_factor
-    E = router_logits.shape[-1]
-    onehot = jax.nn.one_hot(topi, E, dtype=jnp.float32)  # (N, k, E)
-    return jnp.einsum("nk,nke->ne", topv, onehot)
+    return topi.astype(jnp.int32), topv * routed_scaling_factor
+
+
+# below this many tokens the gathered top-k decode path beats the dense
+# all-expert scan (it reads only the selected experts' weights from HBM —
+# the dominant cost of MoE decode at small batch)
+_GATHER_DECODE_MAX_TOKENS = 32
+
+
+def _slot_dequant(el: ExpertLinears, idx: jax.Array) -> jax.Array:
+    """Gather experts ``idx`` (S,) and dequantize -> (S, K, N) bf16.
+
+    The XLA gather only streams the selected experts' payloads out of HBM,
+    so decode traffic scales with tokens*top_k instead of num_experts.
+    """
+    from ..ops.linear import _unpack_fp4, _unpack_nibbles
+
+    md = dict(el.meta)
+    w = el.weight[idx]
+    if el.kind == "dense":
+        return w.astype(jnp.bfloat16)
+    s = el.scale[idx]
+    k, n = int(md["k"]), int(md["n"])
+    if el.kind == "w4":
+        g = int(md["group_size"])
+        vals = jax.vmap(_unpack_nibbles)(w).astype(jnp.float32)[:, :k]
+        vals = vals.reshape(vals.shape[0], -1, g, n)
+        if el.zero_point is not None:
+            vals = vals - el.zero_point[idx][:, :, None, :].astype(jnp.float32)
+        return (vals * s[:, :, None, :].astype(jnp.float32)
+                ).reshape(-1, k, n).astype(jnp.bfloat16)
+    if el.kind == "nvfp4":
+        g = int(md.get("group_size", 16))
+        vals = jax.vmap(_unpack_fp4)(w)[:, :k]
+        vals = vals.reshape(vals.shape[0], -1, g, n)
+        return (vals * s[:, :, None, :].astype(jnp.float32)
+                ).reshape(-1, k, n).astype(jnp.bfloat16)
+    if el.kind == "w8":
+        g = md.get("group_size")
+        vals = w.astype(jnp.float32)
+        if g:
+            vals = vals.reshape(vals.shape[0], -1, int(g), n)
+            return (vals * s[:, :, None, :].astype(jnp.float32)
+                    ).reshape(-1, k, n).astype(jnp.bfloat16)
+        return (vals * s.astype(jnp.float32)[:, None, :]).astype(jnp.bfloat16)
+    if el.kind == "fp8":
+        vals = w.astype(jnp.float32)
+        if md.get("strategy") == "block":
+            bk, bn = int(md["block_k"]), int(md["block_n"])
+            up = jnp.repeat(jnp.repeat(s.astype(jnp.float32), bk, axis=1),
+                            bn, axis=2)
+            return (vals * up[:, :k, :n]).astype(jnp.bfloat16)
+        return (vals * s.astype(jnp.float32)).astype(jnp.bfloat16)
+    raise ValueError(f"unsupported expert kind {el.kind}")
+
+
+def _gathered_topk_ffn(moe: Dict[str, Any], h2: jax.Array, topi: jax.Array,
+                       topv: jax.Array) -> jax.Array:
+    """Decode-path MoE: compute only the selected (token, expert) slots.
+
+    h2 (N, D); topi/topv (N, k) -> (N, D) combined output (f32).
+    """
+    N, k = topi.shape
+    idx = topi.reshape(-1)                      # (N*k,)
+    xs = jnp.repeat(h2, k, axis=0)              # (N*k, D)
+    gate_w = _slot_dequant(moe["gate_proj"], idx)   # (N*k, D, Fe)
+    up_w = _slot_dequant(moe["up_proj"], idx)
+    g = jnp.einsum("sd,sdf->sf", xs, gate_w, preferred_element_type=jnp.float32)
+    u = jnp.einsum("sd,sdf->sf", xs, up_w, preferred_element_type=jnp.float32)
+    a = (jax.nn.silu(g) * u).astype(h2.dtype)
+    down_w = _slot_dequant(moe["down_proj"], idx)   # (N*k, Fe, D)
+    y = jnp.einsum("sf,sfd->sd", a, down_w, preferred_element_type=jnp.float32)
+    y = y.reshape(N, k, -1) * topv[:, :, None].astype(jnp.float32)
+    return y.sum(axis=1)
 
 
 def moe_forward(moe: Dict[str, Any], spec, x: jax.Array,
@@ -123,10 +206,13 @@ def moe_forward(moe: Dict[str, Any], spec, x: jax.Array,
                 capture: Optional[Dict[str, jax.Array]] = None) -> jax.Array:
     """x (B, T, D) -> (B, T, D).
 
-    Dense formulation: the scan runs every expert over every token (so
-    ``all_experts`` calibration needs no special routing change — the flag
-    is accepted for API parity and only affects capture bookkeeping);
-    unrouted contributions are zeroed by the combine weights.
+    Two regimes:
+    * **calibration / prefill** — a ``lax.scan`` over experts runs every
+      expert on every token (so ``all_experts`` calibration needs no
+      special routing change); unrouted contributions are zeroed by the
+      combine weights.
+    * **decode** (few tokens, no capture) — gathered top-k compute that
+      only reads the routed experts' quantized weights from HBM.
     """
     B, T, D = x.shape
     N = B * T
@@ -134,18 +220,32 @@ def moe_forward(moe: Dict[str, Any], spec, x: jax.Array,
 
     router: QuantLinear = moe["router"]
     logits = router.apply(h2.astype(jnp.float32))  # router kept high-precision
-    weights = route_topk(
-        logits, spec.num_experts_per_tok, spec.norm_topk_prob,
+    k = spec.num_experts_per_tok
+    topi, topv = route_topk_sparse(
+        logits, k, spec.norm_topk_prob,
         scoring_func=spec.scoring_func,
         bias=moe.get("e_score_correction_bias"),
         routed_scaling_factor=spec.routed_scaling_factor,
     )
-    weights = weights.astype(jnp.float32)  # (N, E)
+    want_capture = capture is not None
+
+    if (not want_capture and not all_experts
+            and N <= _GATHER_DECODE_MAX_TOKENS and N * k < spec.num_experts):
+        y = _gathered_topk_ffn(moe, h2, topi, topv)
+        shared = moe.get("shared_experts")
+        if shared is not None:
+            a = jax.nn.silu(shared["gate_proj"].apply(h2).astype(jnp.float32)
+                            ).astype(h2.dtype) * shared["up_proj"].apply(h2)
+            y = y + shared["down_proj"].apply(a).astype(jnp.float32)
+        return y.astype(x.dtype).reshape(B, T, D)
+
+    E = spec.num_experts
+    onehot = jax.nn.one_hot(topi, E, dtype=jnp.float32)
+    weights = jnp.einsum("nk,nke->ne", topv, onehot)  # dense (N, E)
 
     gate: ExpertLinears = moe["gate_proj"]
     up: ExpertLinears = moe["up_proj"]
     down: ExpertLinears = moe["down_proj"]
-    want_capture = capture is not None
 
     def body(y, xs_e):
         g_xs, u_xs, d_xs, w_col = xs_e

@@ -406,3 +406,55 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-v"]))
+
+
+class TestMoEGatheredDecode:
+    """The decode-path gathered top-k MoE must match the dense all-expert
+    scan bit-for-tolerance (same math, only selected experts touched)."""
+
+    def _mk(self, kind="dense"):
+        spec = ModelSpec.tiny(moe=True, num_experts=16, num_experts_per_tok=2)
+        params = init_params(spec, jax.random.PRNGKey(7))
+        if kind == "w4":
+            from quantizers_tpu.models.moe import ExpertLinears
+            from quantizers_tpu.ops.linear import from_quantized
+
+            scheme = PRESET_SCHEMES["W4A16_G32"]
+            moe = params["layers"][0]["moe"]
+            for proj in ("gate_proj", "up_proj", "down_proj"):
+                el = moe[proj]
+                qs = []
+                for e in range(el.num_experts):
+                    w_nk = np.asarray(el.expert(e).dequantize(jnp.float32)).T
+                    qs.append(from_quantized(quantize(jnp.asarray(w_nk), scheme.weights),
+                                             scheme.weights))
+                moe[proj] = ExpertLinears.stack(qs)
+        return spec, params
+
+    @pytest.mark.parametrize("kind", ["dense", "w4"])
+    def test_matches_dense_scan(self, kind):
+        from quantizers_tpu.models.moe import moe_forward
+
+        spec, params = self._mk(kind)
+        moe = params["layers"][0]["moe"]
+        x = jax.random.normal(jax.random.PRNGKey(3), (2, 1, spec.hidden_size),
+                              jnp.bfloat16) * 0.5
+        # N*k = 4 < E = 16 -> gathered path
+        y_gather = moe_forward(moe, spec, x)
+        # capture forces the dense scan path
+        y_dense = moe_forward(moe, spec, x, capture={})
+        np.testing.assert_allclose(
+            np.asarray(y_gather, np.float32), np.asarray(y_dense, np.float32),
+            rtol=3e-2, atol=3e-2)
+
+    def test_prefill_uses_dense(self):
+        from quantizers_tpu.models.moe import moe_forward, _GATHER_DECODE_MAX_TOKENS
+
+        spec, params = self._mk()
+        moe = params["layers"][0]["moe"]
+        T = _GATHER_DECODE_MAX_TOKENS + 4
+        x = jax.random.normal(jax.random.PRNGKey(4), (2, T, spec.hidden_size),
+                              jnp.bfloat16) * 0.5
+        y = moe_forward(moe, spec, x)  # N > threshold -> dense scan, no error
+        assert y.shape == x.shape
+        assert jnp.isfinite(y.astype(jnp.float32)).all()
