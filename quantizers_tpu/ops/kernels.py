@@ -235,7 +235,8 @@ def _nvfp4_kernel(x_lo, x_hi, w_ref, s_lo, s_hi, o_ref, acc, *, g: int, bk2: int
     def _zero():
         acc[:] = jnp.zeros_like(acc)
 
-    packed = w_ref[:]
+    # widen u8 -> i32 before bit ops (Mosaic cannot legalize u8 shifts)
+    packed = w_ref[:].astype(jnp.int32)
     lo = _fp4_decode(packed & 0x0F)
     hi = _fp4_decode((packed >> 4) & 0x0F)
 
@@ -392,7 +393,8 @@ def _w8_kernel(x_ref, w_ref, s_ref, o_ref, acc, *, g: Optional[int], bk: int, n_
     def _zero():
         acc[:] = jnp.zeros_like(acc)
 
-    w = w_ref[:].astype(jnp.float32)
+    # widen i8 -> i32 first (Mosaic cannot cast i8 vectors to float directly)
+    w = w_ref[:].astype(jnp.int32).astype(jnp.float32)
     if g:
         scale = s_ref[:].astype(jnp.float32)
         wd = (w.reshape(bk // g, g, -1) * scale[:, None, :]).reshape(bk, -1)

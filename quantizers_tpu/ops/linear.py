@@ -43,15 +43,26 @@ def _unpack_nibbles(packed: jax.Array, signed_offset: int = 8) -> jax.Array:
     return jnp.concatenate([lo, hi], axis=0)
 
 
-_FP4_LUT_J = jnp.asarray([0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0, 0.0, -0.5, -1.0, -1.5, -2.0, -3.0, -4.0, -6.0], dtype=jnp.float32)
+def _fp4_values(codes: jax.Array) -> jax.Array:
+    """E2M1 codes (int32, 0..15) -> float32 values, branchless arithmetic.
+
+    (A 16-entry LUT gather here lowers to a per-element dynamic gather on
+    TPU — measured ~seconds per 100M codes; the select chain vectorizes.)
+    """
+    m = (codes & 1).astype(jnp.float32)
+    e = (codes >> 1) & 0x3
+    mag = jnp.where(
+        e == 0, 0.5 * m,
+        jnp.where(e == 1, 1.0 + 0.5 * m,
+                  jnp.where(e == 2, 2.0 + m, 4.0 + 2.0 * m)))
+    return jnp.where((codes >> 3) & 1 == 1, -mag, mag)
 
 
 def _unpack_fp4(packed: jax.Array) -> jax.Array:
     """uint8 (K//2, N) of split-half-packed E2M1 codes -> float32 (K, N)."""
-    lo = (packed & 0x0F).astype(jnp.int32)
-    hi = ((packed >> 4) & 0x0F).astype(jnp.int32)
-    codes = jnp.concatenate([lo, hi], axis=0)
-    return _FP4_LUT_J[codes]
+    wide = packed.astype(jnp.int32)
+    codes = jnp.concatenate([wide & 0x0F, wide >> 4], axis=0)
+    return _fp4_values(codes)
 
 
 @jax.tree_util.register_pytree_node_class
