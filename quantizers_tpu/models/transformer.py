@@ -297,6 +297,23 @@ def mla_attention(layer: Dict[str, Any], spec: ModelSpec, x: jax.Array,
         capture["k_cache"] = k
         capture["v_cache"] = v
 
+    if cache is not None and T == 1:
+        # same in-place decode kernel as GQA, with rep=1 MHA heads and
+        # asymmetric K (nope+rope) / V head dims
+        from ..ops import kernels as _kernels
+
+        try:
+            ctx4, k_new, v_new = _kernels.decode_attention(
+                q[:, 0][:, :, None, :], k[:, 0], v[:, 0],
+                cache.k, cache.v, cache.length, 1.0 / np.sqrt(dq))
+            new_cache = cache._replace(k=k_new, v=v_new, length=cache.length + 1)
+            ctx = ctx4.reshape(B, 1, H * dv)
+            if capture is not None:
+                capture["o_proj"] = ctx
+            return layer["o_proj"].apply(ctx), new_cache
+        except _kernels.KernelUnsupported:
+            pass
+
     k_att, v_att, mask, new_cache = _cache_and_mask(cache, k, v, positions, x.dtype)
 
     scores = jnp.einsum("bthd,bhsd->bhts", q, k_att,

@@ -613,6 +613,9 @@ def decode_attention(q, new_k, new_v, cache_k, cache_v, lengths,
     if cache_k.dtype != q.dtype:
         raise KernelUnsupported("fp8/mixed-dtype kv-cache decode goes through the XLA path")
     B, KV, rep, dk = q.shape
+    # HBM DMA slices need the trailing (head) dim 128-aligned on real
+    # hardware (MLA's dk=192 K head falls back to the XLA path until the
+    # latent-cache decode lands)
     if dk % 128 or cache_v.shape[3] % 128:
         raise KernelUnsupported("decode_attention needs 128|head_dim")
     if cache_k.shape[2] % 8:
