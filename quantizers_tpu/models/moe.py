@@ -187,16 +187,25 @@ def _gathered_topk_ffn(moe: Dict[str, Any], h2: jax.Array, topi: jax.Array,
 
     h2 (N, D); topi/topv (N, k) -> (N, D) combined output (f32).
     """
+    from ..ops import kernels as _kernels
+
     N, k = topi.shape
     idx = topi.reshape(-1)                      # (N*k,)
     xs = jnp.repeat(h2, k, axis=0)              # (N*k, D)
-    gate_w = _slot_dequant(moe["gate_proj"], idx)   # (N*k, D, Fe)
-    up_w = _slot_dequant(moe["up_proj"], idx)
-    g = jnp.einsum("sd,sdf->sf", xs, gate_w, preferred_element_type=jnp.float32)
-    u = jnp.einsum("sd,sdf->sf", xs, up_w, preferred_element_type=jnp.float32)
-    a = (jax.nn.silu(g) * u).astype(h2.dtype)
-    down_w = _slot_dequant(moe["down_proj"], idx)   # (N*k, Fe, D)
-    y = jnp.einsum("sf,sfd->sd", a, down_w, preferred_element_type=jnp.float32)
+    try:
+        # fused slot kernel: expert payloads stream HBM->VMEM and are
+        # dequantized in place (the XLA path below materializes the
+        # gathered experts in bf16/f32 — ~6 ms/projection/layer on v5e)
+        y = _kernels.moe_slot_ffn(xs, idx, moe["gate_proj"], moe["up_proj"],
+                                  moe["down_proj"])
+    except _kernels.KernelUnsupported:
+        gate_w = _slot_dequant(moe["gate_proj"], idx)   # (N*k, D, Fe)
+        up_w = _slot_dequant(moe["up_proj"], idx)
+        g = jnp.einsum("sd,sdf->sf", xs, gate_w, preferred_element_type=jnp.float32)
+        u = jnp.einsum("sd,sdf->sf", xs, up_w, preferred_element_type=jnp.float32)
+        a = (jax.nn.silu(g) * u).astype(h2.dtype)
+        down_w = _slot_dequant(moe["down_proj"], idx)   # (N*k, Fe, D)
+        y = jnp.einsum("sf,sfd->sd", a, down_w, preferred_element_type=jnp.float32)
     y = y.reshape(N, k, -1) * topv[:, :, None].astype(jnp.float32)
     return y.sum(axis=1)
 

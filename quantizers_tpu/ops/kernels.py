@@ -624,3 +624,141 @@ def decode_attention(q, new_k, new_v, cache_k, cache_v, lengths,
         q, new_k[:, :, None, :], new_v[:, :, None, :], cache_k, cache_v,
         lengths.astype(jnp.int32), sm_scale=float(sm_scale),
         interpret=_interpret() if interpret is None else interpret)
+
+
+# ---------------------------------------------------------------------------
+# MoE slot FFN: per-(token, expert-slot) gated FFN over stacked quantized
+# expert weights, streaming ONLY the routed experts out of HBM
+# ---------------------------------------------------------------------------
+
+def _dequant_tile(codes_src, scale_ref, *, kind: str, g: int, k: int):
+    """VMEM u8/int8 payload (k_rows, n) -> bf16 (k, n) dequantized weights."""
+    if kind == "w4":
+        packed = codes_src[:].astype(jnp.int32)
+        vals = jnp.concatenate([(packed & 0x0F), packed >> 4], axis=0
+                               ).astype(jnp.float32) - 8.0
+    elif kind == "nvfp4":
+        packed = codes_src[:].astype(jnp.int32)
+        from .linear import _fp4_values  # local import to avoid cycle at module load
+
+        vals = _fp4_values(jnp.concatenate([(packed & 0x0F), packed >> 4], axis=0))
+    else:
+        raise ValueError(kind)
+    n = vals.shape[-1]
+    s = scale_ref[:].astype(jnp.float32)  # (k//g, n)
+    w = (vals.reshape(k // g, g, n) * s[:, None, :]).reshape(k, n)
+    return w.astype(jnp.bfloat16)
+
+
+def _moe_slot_ffn_kernel(idx_ref, x_ref,
+                         gw_ref, gs_ref, uw_ref, us_ref, dw_ref, ds_ref,
+                         o_ref,
+                         gbuf, gsb, ubuf, usb, dbuf, dsb, acc, sems,
+                         *, kind: str, g: int, D: int, Fe: int, S: int):
+    s_i = pl.program_id(0)
+    e = idx_ref[s_i]
+
+    copies = []
+    for src, dst, sem in ((gw_ref, gbuf, 0), (gs_ref, gsb, 1), (uw_ref, ubuf, 2),
+                          (us_ref, usb, 3), (dw_ref, dbuf, 4), (ds_ref, dsb, 5)):
+        cp = pltpu.make_async_copy(src.at[e], dst, sems.at[sem])
+        cp.start()
+        copies.append(cp)
+
+    @pl.when(s_i == 0)
+    def _zero():
+        acc[:] = jnp.zeros_like(acc)
+
+    # dynamic row reads/writes of VMEM are illegal (sublane alignment), so
+    # the token row is selected and the output row written via one-hot
+    # matmuls on the (otherwise idle) MXU.
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (1, S), 1) == s_i).astype(jnp.bfloat16)
+    x_s = jnp.dot(sel, x_ref[:], preferred_element_type=jnp.float32
+                  ).astype(jnp.bfloat16)  # (1, D)
+
+    for cp in copies:
+        cp.wait()
+    gate_w = _dequant_tile(gbuf, gsb, kind=kind, g=g, k=D)
+    up_w = _dequant_tile(ubuf, usb, kind=kind, g=g, k=D)
+    gv = jnp.dot(x_s, gate_w, preferred_element_type=jnp.float32)  # (1, Fe)
+    uv = jnp.dot(x_s, up_w, preferred_element_type=jnp.float32)
+    a = (jax.nn.silu(gv) * uv).astype(jnp.bfloat16)
+    down_w = _dequant_tile(dbuf, dsb, kind=kind, g=g, k=Fe)
+    y = jnp.dot(a, down_w, preferred_element_type=jnp.float32)  # (1, D)
+    acc[:] += jnp.dot(sel.T, y.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+
+    @pl.when(s_i == S - 1)
+    def _write():
+        o_ref[:] = acc[:]
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "g", "interpret"))
+def _moe_slot_ffn_call(x, idx, gw, gs, uw, us, dw, ds, *, kind, g, interpret):
+    S, D = x.shape
+    Fe = gw.shape[-1]
+    k2g, k2d = gw.shape[1], dw.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec((S, D), lambda s, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((S, D), lambda s, *_: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM(gw.shape[1:], gw.dtype),
+            pltpu.VMEM(gs.shape[1:], gs.dtype),
+            pltpu.VMEM(uw.shape[1:], uw.dtype),
+            pltpu.VMEM(us.shape[1:], us.dtype),
+            pltpu.VMEM(dw.shape[1:], dw.dtype),
+            pltpu.VMEM(ds.shape[1:], ds.dtype),
+            pltpu.VMEM((S, D), jnp.float32),
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_moe_slot_ffn_kernel, kind=kind, g=g, D=D, Fe=Fe, S=S),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((S, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(idx, x, gw, gs, uw, us, dw, ds)
+
+
+def moe_slot_ffn(x, idx, gate_el, up_el, down_el,
+                 interpret: Optional[bool] = None):
+    """Gated FFN for ``S = tokens*top_k`` expert slots: per grid step one
+    expert's quantized gate/up/down payloads are DMA'd from the stacked
+    (E, ...) arrays (dynamic leading index) and dequantized in VMEM —
+    HBM traffic is exactly the routed experts, and nothing bf16-sized is
+    ever materialized in HBM (the XLA gathered path spends ~6 ms/layer
+    doing that).
+
+    x (S, D) bf16 — the slot's token row repeated per expert slot;
+    idx (S,) int32 expert ids. Returns (S, D) f32 FFN outputs (un-combined).
+    """
+    kind = gate_el.kind
+    if kind not in ("w4", "nvfp4"):
+        raise KernelUnsupported(f"moe_slot_ffn supports w4/nvfp4, got {kind}")
+    if any(el.zero_point is not None for el in (gate_el, up_el, down_el)):
+        raise KernelUnsupported("asymmetric experts go through the XLA path")
+    md = dict(gate_el.meta)
+    g = int(md.get("group_size", 16 if kind == "nvfp4" else 32))
+    S, D = x.shape
+    if S % 8 or D % 128 or int(dict(down_el.meta)["k"]) % 128:
+        raise KernelUnsupported("moe_slot_ffn needs 8|S and 128|D,Fe")
+    return _moe_slot_ffn_call(
+        x.astype(jnp.bfloat16), idx.astype(jnp.int32),
+        gate_el.weight, gate_el.scale, up_el.weight, up_el.scale,
+        down_el.weight, down_el.scale,
+        kind=kind, g=g,
+        interpret=_interpret() if interpret is None else interpret)

@@ -240,3 +240,46 @@ class TestDecodeAttention:
         np.testing.assert_allclose(
             np.asarray(step[:, 0], np.float32), np.asarray(full[:, 3], np.float32),
             rtol=3e-2, atol=3e-2)
+
+
+class TestMoESlotFFN:
+    """Fused slot-FFN kernel vs the XLA gathered reference."""
+
+    def _experts(self, kind, E, k_in, n_out, seed):
+        from quantizers_tpu.models.moe import ExpertLinears
+        from quantizers_tpu.core.scheme import PRESET_SCHEMES
+        from quantizers_tpu.core import quantize as _q
+
+        args = (PRESET_SCHEMES["NVFP4"] if kind == "nvfp4"
+                else PRESET_SCHEMES["W4A16_G32"]).weights
+        rng = np.random.default_rng(seed)
+        lins = []
+        for e in range(E):
+            w = jnp.asarray(rng.standard_normal((n_out, k_in)), jnp.float32) * 0.2
+            lins.append(from_quantized(_q(w, args), args))
+        return ExpertLinears.stack(lins)
+
+    @pytest.mark.parametrize("kind", ["w4", "nvfp4"])
+    def test_matches_xla_gather(self, kind):
+        from quantizers_tpu.ops.kernels import moe_slot_ffn
+        from quantizers_tpu.models.moe import _slot_dequant
+
+        E, D, Fe, S = 4, 256, 128, 8
+        gate = self._experts(kind, E, D, Fe, 1)
+        up = self._experts(kind, E, D, Fe, 2)
+        down = self._experts(kind, E, Fe, D, 3)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((S, D)), jnp.bfloat16)
+        idx = jnp.asarray(rng.integers(0, E, S), jnp.int32)
+
+        y = moe_slot_ffn(x, idx, gate, up, down, interpret=True)
+
+        gw = _slot_dequant(gate, idx)
+        uw = _slot_dequant(up, idx)
+        dw = _slot_dequant(down, idx)
+        g = jnp.einsum("sd,sdf->sf", x, gw, preferred_element_type=jnp.float32)
+        u = jnp.einsum("sd,sdf->sf", x, uw, preferred_element_type=jnp.float32)
+        a = (jax.nn.silu(g) * u).astype(jnp.bfloat16)
+        ref = jnp.einsum("sf,sfd->sd", a, dw, preferred_element_type=jnp.float32)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=5e-2, atol=5e-2)
