@@ -655,19 +655,33 @@ def _moe_slot_ffn_kernel(idx_ref, x_ref,
                          o_ref,
                          gbuf, gsb, ubuf, usb, dbuf, dsb, acc, sems,
                          *, kind: str, g: int, D: int, Fe: int, S: int):
+    """Double-buffered slot pipeline: while slot ``s`` computes, slot
+    ``s+1``'s expert payloads (id known from the scalar-prefetched index
+    array) stream into the other VMEM bank — DMA hides under the dequant
+    VPU work. All payload scratch buffers have a leading bank axis (2, ...).
+    """
     s_i = pl.program_id(0)
-    e = idx_ref[s_i]
+    banks = ((gw_ref, gbuf, 0), (gs_ref, gsb, 1), (uw_ref, ubuf, 2),
+             (us_ref, usb, 3), (dw_ref, dbuf, 4), (ds_ref, dsb, 5))
 
-    copies = []
-    for src, dst, sem in ((gw_ref, gbuf, 0), (gs_ref, gsb, 1), (uw_ref, ubuf, 2),
-                          (us_ref, usb, 3), (dw_ref, dbuf, 4), (ds_ref, dsb, 5)):
-        cp = pltpu.make_async_copy(src.at[e], dst, sems.at[sem])
-        cp.start()
-        copies.append(cp)
+    def copies(step, bank):
+        e = idx_ref[step]
+        return [pltpu.make_async_copy(src.at[e], dst.at[bank],
+                                      sems.at[bank * 6 + j])
+                for src, dst, j in banks]
+
+    bank = jax.lax.rem(s_i, 2)
 
     @pl.when(s_i == 0)
-    def _zero():
+    def _first():
         acc[:] = jnp.zeros_like(acc)
+        for cp in copies(0, 0):
+            cp.start()
+
+    @pl.when(s_i + 1 < S)
+    def _prefetch_next():
+        for cp in copies(s_i + 1, jax.lax.rem(s_i + 1, 2)):
+            cp.start()
 
     # dynamic row reads/writes of VMEM are illegal (sublane alignment), so
     # the token row is selected and the output row written via one-hot
@@ -676,14 +690,14 @@ def _moe_slot_ffn_kernel(idx_ref, x_ref,
     x_s = jnp.dot(sel, x_ref[:], preferred_element_type=jnp.float32
                   ).astype(jnp.bfloat16)  # (1, D)
 
-    for cp in copies:
+    for cp in copies(s_i, bank):
         cp.wait()
-    gate_w = _dequant_tile(gbuf, gsb, kind=kind, g=g, k=D)
-    up_w = _dequant_tile(ubuf, usb, kind=kind, g=g, k=D)
+    gate_w = _dequant_tile(gbuf.at[bank], gsb.at[bank], kind=kind, g=g, k=D)
+    up_w = _dequant_tile(ubuf.at[bank], usb.at[bank], kind=kind, g=g, k=D)
     gv = jnp.dot(x_s, gate_w, preferred_element_type=jnp.float32)  # (1, Fe)
     uv = jnp.dot(x_s, up_w, preferred_element_type=jnp.float32)
     a = (jax.nn.silu(gv) * uv).astype(jnp.bfloat16)
-    down_w = _dequant_tile(dbuf, dsb, kind=kind, g=g, k=Fe)
+    down_w = _dequant_tile(dbuf.at[bank], dsb.at[bank], kind=kind, g=g, k=Fe)
     y = jnp.dot(a, down_w, preferred_element_type=jnp.float32)  # (1, D)
     acc[:] += jnp.dot(sel.T, y.astype(jnp.bfloat16),
                       preferred_element_type=jnp.float32)
@@ -714,14 +728,14 @@ def _moe_slot_ffn_call(x, idx, gw, gs, uw, us, dw, ds, *, kind, g, interpret):
         out_specs=pl.BlockSpec((S, D), lambda s, *_: (0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM(gw.shape[1:], gw.dtype),
-            pltpu.VMEM(gs.shape[1:], gs.dtype),
-            pltpu.VMEM(uw.shape[1:], uw.dtype),
-            pltpu.VMEM(us.shape[1:], us.dtype),
-            pltpu.VMEM(dw.shape[1:], dw.dtype),
-            pltpu.VMEM(ds.shape[1:], ds.dtype),
+            pltpu.VMEM((2,) + gw.shape[1:], gw.dtype),
+            pltpu.VMEM((2,) + gs.shape[1:], gs.dtype),
+            pltpu.VMEM((2,) + uw.shape[1:], uw.dtype),
+            pltpu.VMEM((2,) + us.shape[1:], us.dtype),
+            pltpu.VMEM((2,) + dw.shape[1:], dw.dtype),
+            pltpu.VMEM((2,) + ds.shape[1:], ds.dtype),
             pltpu.VMEM((S, D), jnp.float32),
-            pltpu.SemaphoreType.DMA((6,)),
+            pltpu.SemaphoreType.DMA((12,)),
         ],
     )
     return pl.pallas_call(
