@@ -61,24 +61,30 @@ def main(argv=None) -> int:
     ids = np.asarray(enc["input_ids"], dtype=np.int32)
     logger.info("tokenized %d chars -> %d tokens", len(text), len(ids))
 
-    windows = []
+    # Standard strided wikitext protocol: with stride < window, each window
+    # after the first scores ONLY its last `stride` tokens — the first
+    # window-stride positions are context-only (mask 0). Scoring them too
+    # would double-count overlap tokens with favorable context and bias
+    # PPL low.
+    windows = []  # (ids, n_context) pairs
     for start in range(0, max(1, len(ids) - 1), args.stride):
         w = ids[start : start + args.window]
         if len(w) < 2:
             break
-        windows.append(w)
+        ctx = 0 if start == 0 else max(0, min(args.window - args.stride, len(w) - 1))
+        windows.append((w, ctx))
         if args.max_windows and len(windows) >= args.max_windows:
             break
 
     batches = []
     for i in range(0, len(windows), args.batch_size):
         chunk = windows[i : i + args.batch_size]
-        T = max(len(w) for w in chunk)
+        T = max(len(w) for w, _ in chunk)
         b = np.zeros((len(chunk), T), np.int32)
         m = np.zeros((len(chunk), T), np.float32)
-        for j, w in enumerate(chunk):
+        for j, (w, ctx) in enumerate(chunk):
             b[j, : len(w)] = w
-            m[j, : len(w)] = 1.0
+            m[j, ctx : len(w)] = 1.0
         batches.append((b, m))
 
     t0 = time.time()

@@ -152,7 +152,8 @@ class AWQModifier(Modifier):
     def observe(self, state, site: LinearSite, x_in, mask, capture) -> None:
         super().observe(state, site, x_in, mask, capture)
         r = state["by_capture"].get(site.capture_key)
-        if r is None or r.get("_seen_key") == id(capture):
+        key = capture.get("_batch_idx", id(capture))
+        if r is None or r.get("_seen_key") == key:
             return
         if site.is_expert and x_in.ndim == 3:
             # (E, N, C): expert-specific inputs — average stats over experts,
@@ -161,7 +162,7 @@ class AWQModifier(Modifier):
             r["stats"].update(x_in.reshape(-1, x_in.shape[-1]), None)
         else:
             r["stats"].update(x_in, mask)
-        r["_seen_key"] = id(capture)  # one update per batch per mapping
+        r["_seen_key"] = key  # one update per batch per mapping
 
     def pre_compress(self, state, ctx: LayerCtx, matched) -> None:
         """Fold the best smoothing scales into smooth + balance weights."""

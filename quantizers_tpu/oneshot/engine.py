@@ -126,14 +126,38 @@ def oneshot(
     modifiers = [_build_modifier(m) for m in recipe.modifiers]
 
     if pipeline == "independent":
-        result: Optional[OneshotResult] = None
-        for mspec, mod in zip(recipe.modifiers, modifiers):
+        # Each modifier gets its own full sequential pass; results are
+        # MERGED — every pass's records/config_groups survive into the
+        # final artifact (a mixed-precision recipe must keep the first
+        # group's compression, not just the last's).
+        merged_records: Dict[str, CompressedParam] = {}
+        merged_extra: Dict[str, np.ndarray] = {}
+        merged_groups: Dict[str, QuantScheme] = {}
+        merged_ignore: List[str] = []
+        merged_stats: Dict[str, float] = {}
+        kv_scheme_out: Optional[QuantizationArgs] = None
+        for i, (mspec, mod) in enumerate(zip(recipe.modifiers, modifiers)):
             sub = Recipe(modifiers=[mspec], pipeline="sequential", raw=recipe.raw)
             result = oneshot(spec, params, sub, batches,
                              moe_calibrate_all_experts, pipeline="sequential")
             params = result.params
-        assert result is not None
-        return result
+            merged_records.update(result.records)
+            merged_extra.update(result.extra_tensors)
+            for gname, scheme in result.config_groups.items():
+                key = gname if gname not in merged_groups else f"{gname}_m{i}"
+                merged_groups[key] = scheme
+            for ig in result.ignore:
+                if ig not in merged_ignore:
+                    merged_ignore.append(ig)
+            merged_stats[f"pass_{i}_s"] = result.stats.get("total_s", 0.0)
+            if result.kv_cache_scheme is not None:
+                kv_scheme_out = result.kv_cache_scheme
+        merged_stats["total_s"] = time.time() - t0
+        return OneshotResult(
+            params=params, records=merged_records, extra_tensors=merged_extra,
+            config_groups=merged_groups, ignore=merged_ignore,
+            kv_cache_scheme=kv_scheme_out or recipe.kv_cache_scheme(),
+            stats=merged_stats)
 
     propagate = pipeline != "basic"
 
@@ -213,8 +237,12 @@ def oneshot(
                                                    moe_calibrate_all_experts),
                 static_argnums=(),
             )
-            for h, pos, mask in zip(hiddens, positions, masks):
+            for bi, (h, pos, mask) in enumerate(zip(hiddens, positions, masks)):
                 _, cap = cap_fn(layer, h, pos)
+                # explicit batch ordinal for per-batch dedup in modifiers
+                # that observe one shared input for several sites (id() of
+                # the capture dict is NOT stable: values recycle after GC)
+                cap["_batch_idx"] = bi
                 for mod, site, gname, scheme in observe_only + owned:
                     x_in = cap.get(site.capture_key)
                     if x_in is not None:

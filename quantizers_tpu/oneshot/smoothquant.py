@@ -56,13 +56,14 @@ class SmoothQuantModifier(Modifier):
 
     def observe(self, state, site: LinearSite, x_in, mask, capture) -> None:
         r = state["by_capture"].get(site.capture_key)
-        if r is None or r.get("_seen_key") == id(capture):
+        key = capture.get("_batch_idx", id(capture))
+        if r is None or r.get("_seen_key") == key:
             return
         if site.is_expert and x_in.ndim == 3:
             r["stats"].update(x_in.reshape(-1, x_in.shape[-1]), None)
         else:
             r["stats"].update(x_in, mask)
-        r["_seen_key"] = id(capture)
+        r["_seen_key"] = key
 
     def pre_compress(self, state, ctx: LayerCtx, matched) -> None:
         alpha = self.smoothing_strength

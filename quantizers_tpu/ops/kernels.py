@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .dispatch import _on_tpu
 from .linear import QuantLinear
 
 
@@ -40,7 +41,10 @@ class KernelUnsupported(Exception):
 
 
 def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+    # Single source of truth shared with dispatch._on_tpu(): kernels run
+    # compiled exactly when dispatch routes to them (incl. the tunneled
+    # "axon" TPU backend), interpret-mode everywhere else (CPU CI).
+    return not _on_tpu()
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -620,9 +624,14 @@ def decode_attention(q, new_k, new_v, cache_k, cache_v, lengths,
         raise KernelUnsupported("decode_attention needs 128|head_dim")
     if cache_k.shape[2] % 8:
         raise KernelUnsupported("decode_attention needs 8|S (aligned RMW window)")
+    # clamp the write position into the cache: an out-of-range length would
+    # otherwise make the aligned RMW window A=(L//8)*8 slice HBM out of
+    # bounds (serve.session resets idle slots, but the kernel stays safe
+    # regardless of caller bookkeeping)
+    lengths = jnp.minimum(lengths.astype(jnp.int32), cache_k.shape[2] - 1)
     return _decode_attention_call(
         q, new_k[:, :, None, :], new_v[:, :, None, :], cache_k, cache_v,
-        lengths.astype(jnp.int32), sm_scale=float(sm_scale),
+        lengths, sm_scale=float(sm_scale),
         interpret=_interpret() if interpret is None else interpret)
 
 

@@ -91,6 +91,11 @@ class ContinuousBatcher:
             raise ValueError("empty prompt")
         if len(prompt) >= self.max_len:
             raise ValueError(f"prompt ({len(prompt)}) >= max_len ({self.max_len})")
+        if len(prompt) + max_new_tokens > self.max_len:
+            raise ValueError(
+                f"prompt ({len(prompt)}) + max_new_tokens ({max_new_tokens}) "
+                f"exceeds max_len ({self.max_len}); the KV cache cannot hold "
+                f"the full generation")
         req = _Request(next(self._rid), prompt, max_new_tokens)
         self.queue.append(req)
         return req.rid
@@ -140,6 +145,11 @@ class ContinuousBatcher:
             if done:
                 self.finished[req.rid] = req.out
                 self.slots[slot] = None
+                # freed slots keep decoding as padding rows; reset their
+                # cache length so an idle slot can never walk its write
+                # pointer toward the end of the cache
+                self.caches = [c._replace(length=c.length.at[slot].set(0))
+                               for c in self.caches]
 
     # -- stepping ------------------------------------------------------------
     def step(self) -> None:

@@ -123,9 +123,16 @@ class ModelMerger:
             for name in sorted(prim.keys(), key=natural_sort_key):
                 prefix = self._module_prefix(name)
 
-                # 1. scale_inv handling (reference :261-268)
+                # 1. scale_inv handling (reference :261-268). A prefix the
+                # swap rule owns never renames: the secondary's quintuple
+                # (incl. weight_scale) replaces the whole module, so the
+                # primary's scale_inv is dropped regardless of whether the
+                # swap branch has run yet — no reliance on sort order.
                 if name.endswith(".weight_scale_inv"):
-                    if prefix is not None and prefix.endswith("_proj"):
+                    if (prefix is not None and self.swap_re.match(prefix)
+                            and sec_prefix_params.get(prefix)):
+                        self.stats.skipped_scale_inv += 1
+                    elif prefix is not None and prefix.endswith("_proj"):
                         emit(f"{prefix}.weight_scale", lambda n=name: prim.get(n))
                         self.stats.renamed_scale_inv += 1
                     else:

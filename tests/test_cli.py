@@ -107,6 +107,47 @@ class TestModelFreeAndRecombine:
         assert not out.exists()
 
 
+class TestEntryPoints:
+    """Every [project.scripts] entry in pyproject.toml must resolve to an
+    importable module:function pair — a `pip install` + `qtpu-*` must never
+    ship a broken console script."""
+
+    def test_console_scripts_resolve(self, repo_root):
+        import importlib
+        import tomllib
+
+        cfg = tomllib.loads((repo_root / "pyproject.toml").read_text())
+        scripts = cfg["project"]["scripts"]
+        assert scripts, "no console scripts declared"
+        for name, target in scripts.items():
+            mod_name, _, fn_name = target.partition(":")
+            mod = importlib.import_module(mod_name)
+            fn = getattr(mod, fn_name, None)
+            assert callable(fn), f"{name} -> {target} does not resolve"
+
+
+class TestServeCli:
+    def test_serve_prompts(self, tiny_model_dir, capsys):
+        from quantizers_tpu.cli.serve import main as serve_main
+
+        rc = serve_main([str(tiny_model_dir), "--prompt", "hello world",
+                         "--prompt", "abc", "--max-new-tokens", "4",
+                         "--max-batch", "2", "--max-len", "64",
+                         "--platform", ""])
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        assert len(out) == 2
+        for line in out:
+            rid, _, _text = line.partition("\t")
+            assert rid.isdigit()
+
+    def test_serve_requires_prompts(self, tiny_model_dir):
+        from quantizers_tpu.cli.serve import main as serve_main
+
+        with pytest.raises(SystemExit):
+            serve_main([str(tiny_model_dir)])
+
+
 if __name__ == "__main__":
     import sys
 
