@@ -8,5 +8,10 @@ AutoRound — plus the data-free ``model_free_ptq`` path
 (``scripts/quant_GLM-4.7-Flash-FP8.py``).
 """
 
-from .engine import OneshotResult, oneshot, make_batches  # noqa: F401
+from .engine import (  # noqa: F401
+    OneshotResult,
+    make_batches,
+    oneshot,
+    streaming_peak_bytes,
+)
 from .model_free import model_free_ptq  # noqa: F401

@@ -215,7 +215,7 @@ class AWQModifier(Modifier):
 def _matches_balance(m: AWQMapping, site: LinearSite) -> bool:
     paths = [site.prefix]
     if site.is_expert:
-        paths.append(site.expert_prefix(0))
+        paths.extend(site.alias_paths(0))  # incl. Mixtral/MiniMax w1/w2/w3 dialect
     return any(_matches(b, p) for b in m.balance_layers for p in paths)
 
 
@@ -225,7 +225,7 @@ def _resolve_smooth(m: AWQMapping, ctx: LayerCtx):
         if _matches(m.smooth_layer, f"{p}.{key}"):
             return ("norm", key)
     for s in ctx.sites:
-        paths = [s.prefix] + ([s.expert_prefix(0)] if s.is_expert else [])
+        paths = [s.prefix] + (s.alias_paths(0) if s.is_expert else [])
         if any(_matches(m.smooth_layer, pp) for pp in paths):
             return ("expert_linear", s) if s.is_expert else ("linear", s)
     return None

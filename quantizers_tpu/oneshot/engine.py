@@ -12,11 +12,21 @@ error-propagation property GPTQ/AWQ rely on. Pipelines:
   (reference ``quantization_multiple_modifiers.py:102-109`` ``--independent``).
 * ``basic`` — no error propagation: capture on the original model only.
 
-Memory model: hidden states live on device as one (S, T, D) block per
-calibration set; modifier statistics (Hessians, channel means) are the
-modifiers' concern. Layers are processed one at a time, so peak HBM is
-one layer's weights + hiddens — the TPU analog of the reference's
-accelerate CPU-offload maps (``main_devstral-gptq.py:57-113``).
+Memory model: two modes via ``offload``.
+
+* ``"device"`` (default, small/medium models): the whole params pytree and
+  one (S, T, D) hidden block per calibration batch stay in HBM.
+* ``"host"``: the TPU analog of the reference's accelerate CPU-offload
+  maps (``main_devstral-gptq.py:57-113``) — params and hiddens live in
+  host RAM; each layer is ``jax.device_put`` for its capture/compress/
+  propagate window and fetched back quantized, and hiddens move through
+  HBM one batch at a time. Peak HBM is ONE layer's weights + ONE batch of
+  hiddens (plus transient embed-table residency during embedding);
+  :func:`streaming_peak_bytes` computes the bound for a given spec so
+  30B-class calibration can be planned against a single chip's HBM.
+
+Modifier statistics (Hessians, channel means) are the modifiers' concern
+(they already accumulate host-side numpy).
 """
 
 from __future__ import annotations
@@ -111,6 +121,39 @@ def _capture_layer(layer, spec, idx, hiddens, positions, moe_all_experts):
     return out, cap
 
 
+def _tree_to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def _tree_to_device(tree):
+    return jax.tree_util.tree_map(jnp.asarray, tree)
+
+
+def streaming_peak_bytes(spec: ModelSpec, batch_size: int, seq_len: int,
+                         hidden_dtype_bytes: int = 2) -> Dict[str, int]:
+    """Device-memory bound of the ``offload='host'`` pipeline: the maximum
+    of (embed table + one batch of hiddens) during embedding and (one
+    layer's bf16-equivalent weights + one batch of hiddens) during the
+    per-layer loop. Pure shape math — use it to plan 30B-class calibration
+    against one chip's HBM without allocating anything."""
+    D, Ff = spec.hidden_size, spec.intermediate_size
+    attn = 2 * D * (spec.q_dim + 2 * spec.kv_dim) + 2 * spec.q_dim * D
+    if spec.num_experts:
+        ff_e = getattr(spec, "moe_intermediate_size", None) or Ff
+        mlp = spec.num_experts * 2 * (2 * D * ff_e + ff_e * D)
+    else:
+        mlp = 2 * (2 * D * Ff + Ff * D)
+    layer_bytes = attn + mlp + 4 * D  # + norms
+    hidden_bytes = batch_size * seq_len * D * hidden_dtype_bytes
+    embed_bytes = spec.vocab_size * D * 2
+    return {
+        "layer_bytes": layer_bytes,
+        "hidden_bytes": hidden_bytes,
+        "embed_bytes": embed_bytes,
+        "peak_bytes": max(embed_bytes, layer_bytes) + hidden_bytes,
+    }
+
+
 def oneshot(
     spec: ModelSpec,
     params: Dict[str, Any],
@@ -118,9 +161,13 @@ def oneshot(
     batches: Sequence[Tuple[np.ndarray, np.ndarray]],
     moe_calibrate_all_experts: bool = True,
     pipeline: Optional[str] = None,
+    offload: str = "device",
 ) -> OneshotResult:
     """Run calibrated quantization over ``params`` (modified in place and
-    returned inside the result)."""
+    returned inside the result). ``offload='host'`` streams one layer and
+    one hidden batch through HBM at a time (module docstring)."""
+    if offload not in ("device", "host"):
+        raise ValueError(f"offload must be 'device' or 'host', got {offload!r}")
     t0 = time.time()
     pipeline = pipeline or recipe.pipeline
     modifiers = [_build_modifier(m) for m in recipe.modifiers]
@@ -139,7 +186,8 @@ def oneshot(
         for i, (mspec, mod) in enumerate(zip(recipe.modifiers, modifiers)):
             sub = Recipe(modifiers=[mspec], pipeline="sequential", raw=recipe.raw)
             result = oneshot(spec, params, sub, batches,
-                             moe_calibrate_all_experts, pipeline="sequential")
+                             moe_calibrate_all_experts, pipeline="sequential",
+                             offload=offload)
             params = result.params
             merged_records.update(result.records)
             merged_extra.update(result.extra_tensors)
@@ -172,17 +220,30 @@ def oneshot(
             if ig not in ignore:
                 ignore.append(ig)
 
+    host_mode = offload == "host"
+    if host_mode:
+        # params live host-side for the whole run; layers visit HBM one at
+        # a time below. (No-op for leaves that are already numpy.)
+        params = _tree_to_host(params)
+
     # ---- embed calibration data once -------------------------------------
-    any_capture_possible = True
-    hiddens: List[jnp.ndarray] = []
-    positions: List[jnp.ndarray] = []
-    masks: List[jnp.ndarray] = []
+    # host mode: the embed table visits HBM once, each batch's hiddens are
+    # fetched straight back to host RAM, and the device table is dropped
+    # before the layer loop starts.
+    hiddens: List[Any] = []
+    positions: List[Any] = []
+    masks: List[Any] = []
+    embed_dev = {"embed": jnp.asarray(params["embed"])} if (host_mode and batches) \
+        else params
     for ids, mask in batches:
         ids_j = jnp.asarray(ids)
-        hiddens.append(embed(params, ids_j))
+        h = embed(embed_dev, ids_j)
+        hiddens.append(np.asarray(h) if host_mode else h)
         B, T = ids.shape
-        positions.append(jnp.broadcast_to(jnp.arange(T)[None, :], (B, T)))
-        masks.append(jnp.asarray(mask))
+        pos = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
+        positions.append(np.asarray(pos) if host_mode else pos)
+        masks.append(np.asarray(mask) if host_mode else jnp.asarray(mask))
+    del embed_dev
 
     records: Dict[str, CompressedParam] = {}
     extra_tensors: Dict[str, np.ndarray] = {}
@@ -193,8 +254,12 @@ def oneshot(
     kv_absmax: Dict[int, Tuple[float, float]] = {
         i: (0.0, 0.0) for i in range(len(params["layers"]))}
 
-    for li, layer in enumerate(params["layers"]):
+    for li, host_layer in enumerate(params["layers"]):
         t_layer = time.time()
+        # host mode: this layer's weights enter HBM here and leave (as the
+        # quantized layer) at the end of the iteration — the only other
+        # device residents are one batch of hiddens at a time.
+        layer = _tree_to_device(host_layer) if host_mode else host_layer
         sites = layer_sites(spec, li, layer)
 
         # which modifier owns which site (first match in recipe order wins);
@@ -268,7 +333,17 @@ def oneshot(
         if propagate and batches:
             prop = jax.jit(lambda lyr, h, pos: apply_layer(
                 lyr, spec, li, h, pos, None, moe_calibrate_all_experts)[0])
-            hiddens = [prop(layer, h, pos) for h, pos in zip(hiddens, positions)]
+            if host_mode:
+                # one batch resident at a time; outputs return to host RAM
+                hiddens = [np.asarray(prop(layer, h, pos))
+                           for h, pos in zip(hiddens, positions)]
+            else:
+                hiddens = [prop(layer, h, pos) for h, pos in zip(hiddens, positions)]
+
+        if host_mode:
+            # quantized layer leaves HBM; params keeps the host copy
+            params["layers"][li] = _tree_to_host(layer)
+            del layer
 
         if owned:
             logger.info("layer %d: %d sites compressed in %.1fs", li, len(owned),

@@ -17,6 +17,14 @@ from ..models.moe import ExpertLinears
 from ..ops.linear import QuantLinear
 
 
+#: Mixtral/MiniMax-dialect module-path aliases: those checkpoints name the
+#: MoE container ``block_sparse_moe`` and the expert projections w1/w3/w2
+#: (= gate/up/down). Reference recipes target them directly
+#: (``recipe_Minimax-M2.1-Experts-only-AWQ.yaml:17``), so every expert site
+#: also answers to its aliased path.
+_EXPERT_ALIASES = {"gate_proj": "w1", "up_proj": "w3", "down_proj": "w2"}
+
+
 @dataclasses.dataclass
 class LinearSite:
     """One (possibly expert-stacked) linear inside a layer."""
@@ -30,6 +38,18 @@ class LinearSite:
 
     def expert_prefix(self, e: int) -> str:
         return self.prefix.replace("experts.*", f"experts.{e}")
+
+    def alias_paths(self, e: int) -> List[str]:
+        """All HF-dialect paths this site answers to for expert ``e``:
+        the native Qwen-style path plus the Mixtral/MiniMax w1/w2/w3 form."""
+        paths = [self.expert_prefix(e)]
+        alias = _EXPERT_ALIASES.get(self.name)
+        if self.is_expert and alias is not None:
+            paths.append(
+                self.expert_prefix(e)
+                .replace(".mlp.experts.", ".block_sparse_moe.experts.")
+                .replace(f".{self.name}", f".{alias}"))
+        return paths
 
 
 def layer_sites(spec: ModelSpec, layer_idx: int, layer: Dict[str, Any]) -> List[LinearSite]:
@@ -82,10 +102,12 @@ def scheme_for_site(site: LinearSite, config_groups: Dict[str, QuantScheme],
 
     Expert sites match if any concrete expert path matches (recipes address
     experts both as ``re:.*experts\\.\\d+\\.down_proj`` and as plain
-    ``re:.*down_proj``)."""
+    ``re:.*down_proj``), including the Mixtral/MiniMax
+    ``block_sparse_moe...w1/w2/w3`` alias dialect."""
     paths = [site.prefix]
     if site.is_expert:
-        paths = [site.expert_prefix(e) for e in range(max(1, num_experts))]
+        paths = [p for e in range(max(1, num_experts))
+                 for p in site.alias_paths(e)]
     for path in paths:
         if is_ignored(path, ignore):
             continue
