@@ -316,3 +316,144 @@ class TestMixedPrecisionReader:
             assert args_b.type.value == "int" and args_b.num_bits == 4
             np.testing.assert_allclose(
                 np.asarray(qt_b.values), np.asarray(quant["model.layers.0.mlp.down_proj"].qt.values))
+
+
+class TestGoldenInterop:
+    """Byte-for-byte interop against an EXTERNALLY-specified artifact:
+    every byte below is hand-computed from the public compressed-tensors
+    schema (the reference's hand-rolled writer at
+    ``scripts/recombine_weights_MiniMax-M2.1.py:54-138`` is the spec),
+    NOT produced by this library — so nibble order, scale layout, g_idx
+    semantics and the config-group JSON are pinned against the ecosystem,
+    not against ourselves."""
+
+    def _golden_pack_quantized_dir(self, tmp_path):
+        """Hand-built pack-quantized checkpoint: one Linear, N=2, K=16, g=8.
+
+        Row 0 codes -8..7 -> +8 offset -> nibbles 0..15, little-endian in
+        each int32 word: word0 = 0x76543210, word1 = 0xFEDCBA98.
+        Row 1 codes all 1 -> nibble 9 -> 0x99999999.
+        g_idx [1]*8 + [0]*8: columns 0-7 use group 1, columns 8-15 group 0
+        (scale[g_idx[k]] is the vLLM dequant rule).
+        """
+        from safetensors.numpy import save_file
+
+        packed = np.array(
+            [[0x76543210, np.uint32(0xFEDCBA98).astype(np.int32)],
+             [np.uint32(0x99999999).astype(np.int32)] * 2],
+            dtype=np.int32)
+        scale = np.array([[0.5, 2.0], [1.0, 1.0]], dtype=ml_dtypes.bfloat16)
+        shape = np.array([2, 16], dtype=np.int64)
+        g_idx = np.array([1] * 8 + [0] * 8, dtype=np.int32)
+        tensors = {
+            "model.layers.0.mlp.down_proj.weight_packed": packed,
+            "model.layers.0.mlp.down_proj.weight_scale": scale,
+            "model.layers.0.mlp.down_proj.weight_shape": shape,
+            "model.layers.0.mlp.down_proj.weight_g_idx": g_idx,
+        }
+        save_file(tensors, str(tmp_path / "model.safetensors"))
+        config = {
+            "model_type": "qwen3",
+            "quantization_config": {
+                "quant_method": "compressed-tensors",
+                "format": "pack-quantized",
+                "quantization_status": "compressed",
+                "config_groups": {
+                    "group_0": {
+                        "format": "pack-quantized",
+                        "input_activations": None,
+                        "output_activations": None,
+                        "targets": ["Linear"],
+                        "weights": {
+                            "actorder": "group",
+                            "block_structure": None,
+                            "dynamic": False,
+                            "group_size": 8,
+                            "num_bits": 4,
+                            "observer": "minmax",
+                            "observer_kwargs": {},
+                            "strategy": "group",
+                            "symmetric": True,
+                            "type": "int",
+                        },
+                    },
+                },
+                "ignore": ["lm_head"],
+                "kv_cache_scheme": None,
+                "global_compression_ratio": None,
+                "sparsity_config": {},
+                "transform_config": {},
+                "version": "0.13.1.dev0+g797d301.d20251228",
+            },
+        }
+        (tmp_path / "config.json").write_text(json.dumps(config))
+        return tmp_path
+
+    def test_reader_dequantizes_golden_pack_quantized(self, tmp_path):
+        d = self._golden_pack_quantized_dir(tmp_path)
+        with CompressedModelReader(d) as reader:
+            qt, args = reader.load_quantized("model.layers.0.mlp.down_proj")
+            g_idx = reader.g_idx("model.layers.0.mlp.down_proj")
+        assert args.num_bits == 4 and args.group_size == 8
+        # unpack: row0 must be exactly -8..7, row1 all ones
+        vals = np.asarray(qt.values)
+        np.testing.assert_array_equal(vals[0], np.arange(-8, 8, dtype=np.int8))
+        np.testing.assert_array_equal(vals[1], np.ones(16, np.int8))
+        # dequant WITH g_idx semantics: scale[row, g_idx[k]]
+        scale = np.asarray(qt.scale, np.float32)
+        w = vals.astype(np.float32) * scale[:, g_idx]
+        np.testing.assert_allclose(
+            w[0], np.concatenate([np.arange(-8, 0) * 2.0, np.arange(0, 8) * 0.5]))
+        np.testing.assert_allclose(w[1], np.ones(16))
+
+    def test_writer_reproduces_golden_bytes(self, tmp_path):
+        """Our pack function must emit exactly the hand-computed words."""
+        codes = np.vstack([np.arange(-8, 8, dtype=np.int8),
+                           np.ones(16, np.int8)])
+        packed = pack_int_to_int32(codes, 4)
+        assert packed.dtype == np.int32
+        assert packed[0, 0] == 0x76543210
+        assert np.uint32(packed[0, 1]) == np.uint32(0xFEDCBA98)
+        assert np.uint32(packed[1, 0]) == np.uint32(0x99999999)
+
+    def test_nvfp4_golden_bytes(self):
+        """E2M1 code points and the low-nibble-first byte layout."""
+        vals = np.array([[0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0,
+                          -0.5, -1.0, -1.5, -2.0, -3.0, -4.0, -6.0, 6.0]],
+                        dtype=np.float32)
+        packed = pack_fp4_to_uint8(vals)
+        # codes: 0..7 then sign|1..7 and 7 -> bytes lo|hi<<4
+        expect = np.array([[0x10, 0x32, 0x54, 0x76,
+                            0xA9, 0xCB, 0xED, 0x7F]], dtype=np.uint8)
+        np.testing.assert_array_equal(packed, expect)
+
+    def test_fp8_golden_bytes(self):
+        """float8_e4m3fn byte encodings for exactly-representable values."""
+        w = np.array([[1.0, 2.0, 0.5, -1.0]], dtype=np.float32)
+        enc = w.astype(ml_dtypes.float8_e4m3fn)
+        np.testing.assert_array_equal(
+            enc.view(np.uint8), np.array([[0x38, 0x40, 0x30, 0xB8]], np.uint8))
+
+    def test_config_group_json_matches_reference_schema(self):
+        """build_quantization_config must emit the same key set and value
+        conventions as the reference's hand-rolled config (:82-138)."""
+        from quantizers_tpu.core import PRESET_SCHEMES
+
+        scheme = PRESET_SCHEMES["W4A16_G32"]
+        qcfg = build_quantization_config({"group_1": scheme}, ignore=["lm_head"])
+        assert qcfg["quant_method"] == "compressed-tensors"
+        assert qcfg["quantization_status"] == "compressed"
+        for key in ("config_groups", "ignore", "kv_cache_scheme",
+                    "global_compression_ratio", "sparsity_config",
+                    "transform_config", "version", "format"):
+            assert key in qcfg, key
+        body = qcfg["config_groups"]["group_1"]
+        assert body["format"] == "pack-quantized"
+        assert "targets" in body
+        w = body["weights"]
+        for key in ("actorder", "block_structure", "dynamic", "group_size",
+                    "num_bits", "observer", "observer_kwargs", "strategy",
+                    "symmetric", "type"):
+            assert key in w, key
+        assert w["num_bits"] == 4 and w["type"] == "int"
+        assert w["strategy"] == "group" and w["symmetric"] is True
