@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 K, N, G = 2560, 9728, 32
 BK2, BN = 256, 9728
 NREP = 8          # distinct weight replicas cycled by the scan
-R1, R2 = 64, 320  # scan lengths for differential timing
+R1, R2 = 64, 320  # TOTAL matmul counts for differential timing (divided by NREP inside)
 
 
 def log(*a):
@@ -99,27 +99,28 @@ def make_call(mode, k, n):
 
 @functools.partial(jax.jit, static_argnames=("mode", "reps", "fuse"))
 def run(x2, packed_all, scale_all, *, mode, reps, fuse):
-    # packed_all (NREP, K/2, N); fuse=2 treats pairs as one (K, N) call
+    # NREP distinct weight arrays closed over STATICALLY (tuple unstacked
+    # outside) — a dynamic slice here would make XLA materialize a 12 MB
+    # copy per step and poison the measurement.
     k = K * fuse
     call = make_call(mode, k, N)
+    ws = [packed_all[i] for i in range(NREP)]
+    ss = [scale_all[i] for i in range(NREP)]
+    if fuse > 1:
+        ws = [jnp.concatenate(ws[i:i + fuse], axis=0) for i in range(0, NREP, fuse)]
+        ss = [jnp.concatenate(ss[i:i + fuse], axis=0) for i in range(0, NREP, fuse)]
 
-    def step(carry, i):
+    def step(carry, _):
         x, acc = carry
-        r = jax.lax.rem(i, NREP // fuse)
-        if fuse == 1:
-            w = jax.lax.dynamic_index_in_dim(packed_all, r, keepdims=False)
-            s = jax.lax.dynamic_index_in_dim(scale_all, r, keepdims=False)
-        else:
-            w = jax.lax.dynamic_slice_in_dim(packed_all, r * fuse, fuse, 0)
-            w = w.reshape(fuse * (K // 2), N)
-            s = jax.lax.dynamic_slice_in_dim(scale_all, r * fuse, fuse, 0)
-            s = s.reshape(fuse * (K // G), N)
         xx = jnp.concatenate([x] * fuse, axis=1) if fuse > 1 else x
-        y = call(xx, w, s)
-        return (x + y[:, :1] * 1e-9, acc + y[0, 0]), ()
+        for w, s in zip(ws, ss):
+            y = call(xx, w, s)
+            acc = acc + y[0, 0]
+            xx = xx + y[:, :1].astype(xx.dtype) * 1e-9
+        return (xx[:, :K], acc), ()
 
-    (xf, acc), _ = jax.lax.scan(step, (x2, jnp.zeros((), jnp.bfloat16)),
-                                jnp.arange(reps), length=reps)
+    (xf, acc), _ = jax.lax.scan(step, (x2, jnp.zeros((), jnp.float32)),
+                                None, length=reps // NREP)
     return acc
 
 
@@ -147,7 +148,7 @@ def main():
                     best = min(best, time.time() - t0)
                 times[reps] = best
                 log(f"  {tag} reps={reps}: total {best*1e3:.1f} ms (compile {comp:.0f}s)")
-            per = (times[R2] - times[R1]) / (R2 - R1)
+            per = (times[R2] - times[R1]) / (R2 - R1) * fuse
             eff = wbytes * fuse / per / 1e9
             log(f"{tag:16s}: {per*1e6:8.1f} us/step  {eff:7.0f} GB/s")
         except Exception as e:

@@ -75,6 +75,9 @@ SPEC = ModelSpec(
 def decode_scan_variant(params, spec, caches, first, *, steps,
                         skip_attn=False, skip_head=False, skip_mlp=False):
     from quantizers_tpu.models.transformer import attention
+    from quantizers_tpu.ops.linear import i4_device_layout
+
+    params = i4_device_layout(params)  # match the serving path (in-jit)
 
     def fwd(params, tok, caches):
         x = embed(params, tok[:, None])
@@ -111,6 +114,9 @@ def decode_scan_variant(params, spec, caches, first, *, steps,
 
 
 def matmul_only_scan(params, spec, first, *, steps, fused=False):
+    from quantizers_tpu.ops.linear import i4_device_layout
+
+    params = i4_device_layout(params)
     D = spec.hidden_size
 
     def step(carry, _):

@@ -61,12 +61,13 @@ _W_TILE_BYTES = 2_600_000
 
 
 def _pick_tiles(k_rows: int, n: int, row_quantum: int,
-                n_quantum: int = 128) -> Tuple[int, int]:
+                n_quantum: int = 128, elem_bytes: float = 1.0) -> Tuple[int, int]:
     """Choose (block_rows, bn) for a (k_rows, n) weight operand: prefer
     bn == n (contiguous DMA), then the largest row-divisor multiple of
-    ``row_quantum`` fitting the tile budget."""
+    ``row_quantum`` fitting the tile budget. ``elem_bytes`` sizes the
+    payload element (0.5 for int4)."""
     bn = n
-    while bn > n_quantum and (n % bn or bn * row_quantum > _W_TILE_BYTES):
+    while bn > n_quantum and (n % bn or bn * row_quantum * elem_bytes > _W_TILE_BYTES):
         # walk down through divisors of n that are multiples of n_quantum
         bn -= n_quantum
         while bn > n_quantum and n % bn:
@@ -74,7 +75,7 @@ def _pick_tiles(k_rows: int, n: int, row_quantum: int,
     best = 0
     r = row_quantum
     while r <= k_rows:
-        if k_rows % r == 0 and r * bn <= _W_TILE_BYTES:
+        if k_rows % r == 0 and r * bn * elem_bytes <= _W_TILE_BYTES:
             best = r
         r += row_quantum
     if best == 0:
@@ -190,6 +191,61 @@ def _w4_matmul_2d(x2, packed, scale, *, g, bm, bn, bk2, interpret):
     )(x2, x2, packed, scale, scale)
 
 
+def _w4i_kernel(x_ref, w_ref, s_ref, o_ref, acc, *, g: int, bk: int, n_k: int):
+    """Native-int4 weight path: the S4 VMEM tile converts to bf16 with one
+    hardware cvt per group slab (no i32 widen / shift / mask chains), then
+    the per-group-dot formulation applies scales to f32 partials. Measured
+    at the DMA floor (628 vs 630 GB/s copy floor, benchmarks/kernel_lab6.py)
+    — 1.7x the packed-u8 kernel, whose VPU unpack chain is compute-bound."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _zero():
+        acc[:] = jnp.zeros_like(acc)
+
+    x = x_ref[:]
+    s = s_ref[:].astype(jnp.float32)
+    for gi in range(bk // g):
+        codes = w_ref[gi * g:(gi + 1) * g, :].astype(jnp.bfloat16)
+        part = jnp.dot(x[:, gi * g:(gi + 1) * g], codes,
+                       preferred_element_type=jnp.float32)
+        acc[:] += part * s[gi:gi + 1, :]
+
+    @pl.when(ki == n_k - 1)
+    def _write():
+        o_ref[:] = acc[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("g", "bm", "bn", "bk", "interpret"))
+def _w4i_matmul_2d(x2, w_i4, scale, *, g, bm, bn, bk, interpret):
+    m, k = x2.shape
+    _, n = w_i4.shape
+    n_k = k // bk
+    grid = (m // bm, n // bn, n_k)
+
+    return pl.pallas_call(
+        functools.partial(_w4i_kernel, g=g, bk=bk, n_k=n_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, ki: (i, ki), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, ki: (ki, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // g, bn), lambda i, j, ki: (ki, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, ki: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=m * k * 2 + k * n // 2 + (k // g) * n * 2 + m * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2, w_i4, scale)
+
+
 def w4_matmul(x: jax.Array, lin: QuantLinear, interpret: Optional[bool] = None) -> jax.Array:
     md = lin.meta_dict
     k, n, g = int(md["k"]), int(md["n"]), int(md["group_size"])
@@ -198,14 +254,24 @@ def w4_matmul(x: jax.Array, lin: QuantLinear, interpret: Optional[bool] = None) 
     if k % (2 * g) or n % 128 or g % 2:
         raise KernelUnsupported(f"w4 kernel needs 2g|K and 128|N (k={k}, n={n}, g={g})")
 
-    # one k-step covers bk2 packed rows = bk2 weights per plane
-    bk2, bn = _pick_tiles(k // 2, n, 8 * g)  # scale tile rows (bk2/g) must be %8
-
     x2, lead = _flatten_x(x, k)
     m = x2.shape[0]
     bm = 16 if m <= 16 else (32 if m <= 32 else 128)
-    x2 = _pad_m(x2.astype(jnp.bfloat16), bm)
 
+    if lin.weight.dtype == jnp.int4:
+        # signed (K, N) layout (ops.linear.w4_packed_to_int4)
+        bk, bn = _pick_tiles(k, n, max(8 * g, 32), elem_bytes=0.5)
+        x2 = _pad_m(x2.astype(jnp.bfloat16), bm)
+        out = _w4i_matmul_2d(
+            x2, lin.weight, lin.scale, g=g, bm=bm, bn=bn, bk=bk,
+            interpret=_interpret() if interpret is None else interpret,
+        )
+        return out[:m].reshape(*lead, n).astype(x.dtype)
+
+    # one k-step covers bk2 packed rows = bk2 weights per plane
+    bk2, bn = _pick_tiles(k // 2, n, 8 * g)  # scale tile rows (bk2/g) must be %8
+
+    x2 = _pad_m(x2.astype(jnp.bfloat16), bm)
     out = _w4_matmul_2d(
         x2, lin.weight, lin.scale, g=g, bm=bm, bn=bn, bk2=bk2,
         interpret=_interpret() if interpret is None else interpret,
@@ -479,7 +545,8 @@ KERNELS = {
 def _dec_attn_kernel(len_ref, q_ref, nk_ref, nv_ref, kc_ref, vc_ref,
                      ctx_ref, ko_ref, vo_ref,
                      kbuf, vbuf, k8, v8, sk, sv, swk, swv,
-                     *, S: int, KV: int, rep: int, sm_scale: float):
+                     *, S: int, KV: int, rep: int, sm_scale: float,
+                     n_chunks: int):
     """One grid step per batch row: ALL heads' strips move in one
     contiguous (KV, S, hd) DMA (per-(b,h) gridding measured ~1 µs/step of
     pure overhead — 2304 steps/model-step ≈ 2.9 ms), and all heads'
@@ -487,6 +554,16 @@ def _dec_attn_kernel(len_ref, q_ref, nk_ref, nv_ref, kc_ref, vc_ref,
     block-diagonal head mask, so the MXU sees two big matmuls instead of
     2·KV small ones. Cross-head score blocks are masked to -inf and
     contribute zeros through the value dot.
+
+    The strip is fetched in ``n_chunks`` S-chunks and only chunks covering
+    rows [0, L] actually move — decode reads the *valid prefix*, not the
+    allocated window, so early-in-sequence steps cost a fraction of the
+    full-cache roofline (the serving win that pushes vs_baseline past the
+    naive full-window model). Unread V rows are zeroed before the value
+    dot: their probability columns are exactly 0 after the mask+softmax,
+    but stale VMEM can hold NaN bit patterns and 0*NaN would poison the
+    row sums. Unread K rows need no such care — their scores are masked
+    to -1e30 before softmax.
     """
     b = pl.program_id(0)
     L = len_ref[b]
@@ -495,10 +572,17 @@ def _dec_attn_kernel(len_ref, q_ref, nk_ref, nv_ref, kc_ref, vc_ref,
     # 8-row read-modify-write (~KV·4 KB, negligible next to the strip read)
     A = pl.multiple_of((L // 8) * 8, 8)
 
-    ck = pltpu.make_async_copy(kc_ref.at[b], kbuf, sk)
-    cv = pltpu.make_async_copy(vc_ref.at[b], vbuf, sv)
-    ck.start()
-    cv.start()
+    CH = S // n_chunks
+    nread = L // CH + 1  # chunks covering rows 0..L (merge row included)
+    for c in range(n_chunks):
+        @pl.when(c < nread)
+        def _fetch(c=c):
+            pltpu.make_async_copy(kc_ref.at[b, :, pl.ds(c * CH, CH)],
+                                  kbuf.at[:, pl.ds(c * CH, CH)],
+                                  sk.at[c]).start()
+            pltpu.make_async_copy(vc_ref.at[b, :, pl.ds(c * CH, CH)],
+                                  vbuf.at[:, pl.ds(c * CH, CH)],
+                                  sv.at[c]).start()
     rk = pltpu.make_async_copy(ko_ref.at[b, :, pl.ds(A, 8)], k8, swk)
     rv = pltpu.make_async_copy(vo_ref.at[b, :, pl.ds(A, 8)], v8, swv)
     rk.start()
@@ -517,15 +601,24 @@ def _dec_attn_kernel(len_ref, q_ref, nk_ref, nv_ref, kc_ref, vc_ref,
     wk.start()
     wv.start()
 
-    ck.wait()
-    cv.wait()
+    for c in range(n_chunks):
+        @pl.when(c < nread)
+        def _join(c=c):
+            pltpu.make_async_copy(kc_ref.at[b, :, pl.ds(c * CH, CH)],
+                                  kbuf.at[:, pl.ds(c * CH, CH)],
+                                  sk.at[c]).wait()
+            pltpu.make_async_copy(vc_ref.at[b, :, pl.ds(c * CH, CH)],
+                                  vbuf.at[:, pl.ds(c * CH, CH)],
+                                  sv.at[c]).wait()
     # merge the current token's row at register level (the strip read ran
     # concurrently with the RMW write-back)
     row = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1)
     dk = kbuf.shape[-1]
     dv = vbuf.shape[-1]
     k_use = jnp.where(row == L, new_k, kbuf[:]).reshape(KV * S, dk)
-    v_use = jnp.where(row == L, new_v, vbuf[:]).reshape(KV * S, dv)
+    v_use = jnp.where(row == L, new_v,
+                      jnp.where(row > L, jnp.zeros_like(new_v), vbuf[:])
+                      ).reshape(KV * S, dv)
 
     q = q_ref[0].reshape(KV * rep, dk)
     scores = jax.lax.dot_general(
@@ -549,6 +642,10 @@ def _decode_attention_call(q, new_k, new_v, cache_k, cache_v, lengths,
     B, KV, rep, dk = q.shape
     S = cache_k.shape[2]
     dv = cache_v.shape[3]
+    # valid-prefix chunked fetch: largest chunk count <= 8 keeping 8|CH
+    n_chunks = 8
+    while n_chunks > 1 and S % (n_chunks * 8):
+        n_chunks //= 2
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -576,15 +673,15 @@ def _decode_attention_call(q, new_k, new_v, cache_k, cache_v, lengths,
             pltpu.VMEM((KV, S, dv), cache_v.dtype),
             pltpu.VMEM((KV, 8, dk), cache_k.dtype),
             pltpu.VMEM((KV, 8, dv), cache_v.dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((n_chunks,)),
+            pltpu.SemaphoreType.DMA((n_chunks,)),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
     ctx, k_out, v_out = pl.pallas_call(
         functools.partial(_dec_attn_kernel, S=S, KV=KV, rep=rep,
-                          sm_scale=sm_scale),
+                          sm_scale=sm_scale, n_chunks=n_chunks),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, KV, rep, dv), q.dtype),

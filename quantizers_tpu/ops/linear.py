@@ -43,6 +43,47 @@ def _unpack_nibbles(packed: jax.Array, signed_offset: int = 8) -> jax.Array:
     return jnp.concatenate([lo, hi], axis=0)
 
 
+def w4_packed_to_int4(packed: jax.Array) -> jax.Array:
+    """Split-half packed uint8 (K//2, N) -> signed ``jnp.int4`` (K, N).
+
+    The native-int4 device layout for symmetric W4A16: the Pallas kernel
+    then dequantizes with ONE hardware i4->bf16 cvt instead of the
+    widen/shift/mask chain, which moves the kernel from compute-bound
+    (370 GB/s) to the DMA floor (628 GB/s) — benchmarks/kernel_lab6.py.
+
+    Must run INSIDE jit on the tunneled axon backend: int4 arrays crossing
+    the host<->device boundary break its transfer path (memory:
+    axon-tpu-quirks), so callers convert per compiled program rather than
+    holding int4 at rest. The relayout reads+writes ~K*N/2 bytes once per
+    jit call — ~0.25% of a 256-step decode scan.
+    """
+    wide = packed.astype(jnp.int32)
+    lo = (wide & 0x0F) - 8
+    hi = (wide >> 4) - 8
+    return jnp.concatenate([lo, hi], axis=0).astype(jnp.int4)
+
+
+def i4_device_layout(tree: Any) -> Any:
+    """Swap every symmetric w4 :class:`QuantLinear` payload in a params
+    pytree for the signed-int4 layout (see :func:`w4_packed_to_int4`).
+    No-op off TPU, for asymmetric layouts, and for already-converted
+    leaves — safe to call unconditionally at every jit entry point."""
+    from .dispatch import _on_tpu
+
+    if not _on_tpu():
+        return tree
+
+    def conv(x):
+        if (isinstance(x, QuantLinear) and x.kind == "w4"
+                and x.zero_point is None and x.weight.dtype == jnp.uint8
+                and int(dict(x.meta)["k"]) == 2 * x.weight.shape[0]):
+            return dataclasses.replace(x, weight=w4_packed_to_int4(x.weight))
+        return x
+
+    return jax.tree_util.tree_map(
+        conv, tree, is_leaf=lambda x: isinstance(x, QuantLinear))
+
+
 def _fp4_values(codes: jax.Array) -> jax.Array:
     """E2M1 codes (int32, 0..15) -> float32 values, branchless arithmetic.
 
@@ -113,7 +154,10 @@ class QuantLinear:
         if self.kind == "dense":
             return self.weight.astype(dtype)
         if self.kind == "w4":
-            vals = _unpack_nibbles(self.weight).astype(jnp.float32)[:k]
+            if self.weight.dtype == jnp.int4:  # already-signed device layout
+                vals = self.weight.astype(jnp.float32)[:k]
+            else:
+                vals = _unpack_nibbles(self.weight).astype(jnp.float32)[:k]
             g = int(md["group_size"])
             vals = vals.reshape(-1, g, n)
             if self.zero_point is not None:

@@ -72,6 +72,14 @@ class ContinuousBatcher:
                  prefill_buckets: Sequence[int] = (32, 128, 512, 2048),
                  eos_ids: Sequence[int] = ()) -> None:
         self.spec = spec
+        if jax.default_backend() == "tpu":
+            # hold the fast signed-int4 w4 layout at rest: _decode_step is a
+            # per-token jit, so in-jit conversion there would re-relayout
+            # every token. The tunneled "axon" backend can't pass int4 jit
+            # args (memory: axon-tpu-quirks) and keeps the packed-u8 layout.
+            from ..ops.linear import i4_device_layout
+
+            params = jax.jit(i4_device_layout)(params)
         self.params = params
         self.max_batch = max_batch
         self.max_len = max_len

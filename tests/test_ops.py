@@ -127,6 +127,38 @@ class TestPallasInterpret:
         assert got.shape == (2, 3, 128)
         assert np.abs(got - ref).max() < 0.35
 
+    def test_w4_kernel_int4_layout(self):
+        """The signed-int4 device layout (w4_packed_to_int4) must produce
+        the same result as the packed-u8 kernel and the XLA oracle."""
+        import dataclasses
+
+        from quantizers_tpu.ops.linear import w4_packed_to_int4
+
+        w = rand((256, 512), seed=24)
+        qt = quantize(w, W4_ARGS)
+        lin = from_quantized(qt, W4_ARGS)
+        lin_i4 = dataclasses.replace(lin, weight=w4_packed_to_int4(lin.weight))
+        assert lin_i4.weight.shape == (512, 256)
+        assert lin_i4.weight.dtype == jnp.int4
+        self._check(lin_i4, 512)
+        # dequantize() must understand the converted layout too
+        np.testing.assert_allclose(
+            np.asarray(lin_i4.dequantize(jnp.float32)),
+            np.asarray(lin.dequantize(jnp.float32)), rtol=0, atol=0)
+
+    def test_i4_device_layout_treemap(self):
+        """i4_device_layout converts symmetric w4 leaves (and only those)
+        inside jit; off-TPU (this CI) it must be an identity."""
+        from quantizers_tpu.ops.linear import i4_device_layout
+
+        w = rand((128, 256), seed=25)
+        qt = quantize(w, W4_ARGS)
+        lin = from_quantized(qt, W4_ARGS)
+        tree = {"a": lin, "b": jnp.ones((3,))}
+        out = jax.jit(i4_device_layout)(tree)
+        # on CPU: no-op (packed u8 kept for the interpret path)
+        assert out["a"].weight.dtype == jnp.uint8
+
     def test_w4_kernel_small_k_falls_back(self):
         """K too small for the TPU scale-tile row quantum -> the dispatcher
         must fall back to the XLA path rather than mis-tile."""
