@@ -70,10 +70,16 @@ class ModelSpec:
         return (self.qk_nope_head_dim + self.qk_rope_head_dim) if self.is_mla else self.head_dim
 
     def kv_cache_dims(self):
-        """((heads_k, hd_k), (heads_v, hd_v)) of the decode cache."""
+        """((heads_k, hd_k), (heads_v, hd_v)) of the decode cache.
+
+        MLA stores the *latent* cache (DeepSeek absorbed form): the "k"
+        array holds the shared kv_lora_rank compression per token and the
+        "v" array holds the shared post-rope k_pe head padded to a lane
+        multiple — r + rope_pad elements per token instead of
+        num_heads*(qk_head_dim + v_head_dim), ~H× smaller."""
         if self.is_mla:
-            return ((self.num_heads, self.qk_head_dim),
-                    (self.num_heads, self.v_head_dim or self.head_dim))
+            rope_pad = -(-max(self.qk_rope_head_dim, 1) // 128) * 128
+            return ((1, self.kv_lora_rank), (1, rope_pad))
         return ((self.num_kv_heads, self.head_dim),
                 (self.num_kv_heads, self.head_dim))
 

@@ -258,13 +258,20 @@ def mla_attention(layer: Dict[str, Any], spec: ModelSpec, x: jax.Array,
     Low-rank compressed KV + a decoupled shared RoPE head; the MLA
     projections are exactly the modules the reference's data-free script
     keeps high-precision (``scripts/quant_GLM-4.7-Flash-FP8.py:15-22``).
-    The cache stores the *expanded* per-head K/V (simple, serving-correct);
-    a latent-cache variant is a later optimization.
+
+    The cache is the *latent* cache (absorbed form): one shared
+    (c_kv, rope-k) row per token (see ModelSpec.kv_cache_dims), attended
+    in the r-dim latent space — scores_h = (W_uk_h^T q_nope_h)·c +
+    q_pe_h·k_pe, ctx_h = W_uv_h (probs·C). On TPU the one-token step runs
+    the in-place Pallas kernel (ops.kernels.mla_decode_attention); the
+    no-cache calibration path keeps the expanded computation (and its
+    activation captures) unchanged.
     """
     B, T, _ = x.shape
     H = spec.num_heads
     dn, dr, dv = spec.qk_nope_head_dim, spec.qk_rope_head_dim, spec.v_head_dim
     dq = dn + dr
+    r = spec.kv_lora_rank
 
     if spec.q_lora_rank:
         cq = rms_norm(layer["q_a_proj"].apply(x), layer["q_a_layernorm"],
@@ -278,55 +285,99 @@ def mla_attention(layer: Dict[str, Any], spec: ModelSpec, x: jax.Array,
     q_nope, q_pe = q[..., :dn], q[..., dn:]
 
     ckv = layer["kv_a_proj_with_mqa"].apply(x)  # (B, T, r + dr)
-    c_kv = rms_norm(ckv[..., : spec.kv_lora_rank], layer["kv_a_layernorm"],
-                    spec.rms_norm_eps)
-    k_pe = ckv[..., spec.kv_lora_rank:][:, :, None, :]  # (B, T, 1, dr)
+    c_kv = rms_norm(ckv[..., :r], layer["kv_a_layernorm"], spec.rms_norm_eps)
+    k_pe = ckv[..., r:][:, :, None, :]  # (B, T, 1, dr)
     if capture is not None:
         capture["kv_b_proj"] = c_kv
-    kv = layer["kv_b_proj"].apply(c_kv).reshape(B, T, H, dn + dv)
-    k_nope, v = kv[..., :dn], kv[..., dn:]
 
     cos, sin = rotary_cos_sin(positions, dr, spec.rope_theta)
     q_pe = apply_rope_interleaved(q_pe, cos, sin)
     k_pe = apply_rope_interleaved(k_pe, cos, sin)
 
-    q = jnp.concatenate([q_nope, q_pe], axis=-1)
-    k = jnp.concatenate([k_nope, jnp.broadcast_to(k_pe, (B, T, H, dr))], axis=-1)
+    if cache is None:
+        # calibration / no-cache forward: expanded computation, with the
+        # activation captures the oneshot engine feeds to observers
+        kv = layer["kv_b_proj"].apply(c_kv).reshape(B, T, H, dn + dv)
+        k_nope, v = kv[..., :dn], kv[..., dn:]
+        q_full = jnp.concatenate([q_nope, q_pe], axis=-1)
+        k = jnp.concatenate(
+            [k_nope, jnp.broadcast_to(k_pe, (B, T, H, dr))], axis=-1)
+        if capture is not None:
+            capture["k_cache"] = k
+            capture["v_cache"] = v
+        k_att, v_att, mask, _ = _cache_and_mask(None, k, v, positions, x.dtype)
+        scores = jnp.einsum("bthd,bhsd->bhts", q_full, k_att,
+                            preferred_element_type=jnp.float32)
+        scores = scores * (1.0 / np.sqrt(dq))
+        scores = jnp.where(mask[:, None, :, :], scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        ctx = jnp.einsum("bhts,bhsd->bthd", probs, v_att).reshape(B, T, H * dv)
+        if capture is not None:
+            capture["o_proj"] = ctx
+        return layer["o_proj"].apply(ctx), None
 
-    if capture is not None:
-        capture["k_cache"] = k
-        capture["v_cache"] = v
+    # ---- cached path: latent rows, absorbed attention -------------------
+    w_uk_t, w_uv = _mla_absorb_weights(layer, spec, x.dtype)
+    rope_pad = cache.v.shape[3]
+    pe_row = jnp.pad(k_pe, ((0, 0), (0, 0), (0, 0), (0, rope_pad - dr)))
+    q_abs = jnp.einsum("bthd,hdr->bthr", q_nope, w_uk_t)
+    sm = 1.0 / np.sqrt(dq)
 
-    if cache is not None and T == 1:
-        # same in-place decode kernel as GQA, with rep=1 MHA heads and
-        # asymmetric K (nope+rope) / V head dims
+    if T == 1:
         from ..ops import kernels as _kernels
 
         try:
-            ctx4, k_new, v_new = _kernels.decode_attention(
-                q[:, 0][:, :, None, :], k[:, 0], v[:, 0],
-                cache.k, cache.v, cache.length, 1.0 / np.sqrt(dq))
-            new_cache = cache._replace(k=k_new, v=v_new, length=cache.length + 1)
-            ctx = ctx4.reshape(B, 1, H * dv)
-            if capture is not None:
-                capture["o_proj"] = ctx
+            q_pe_pad = jnp.pad(q_pe[:, 0], ((0, 0), (0, 0), (0, rope_pad - dr)))
+            ctx_lat, c_new, p_new = _kernels.mla_decode_attention(
+                q_abs[:, 0], q_pe_pad, c_kv[:, 0], pe_row[:, 0, 0],
+                cache.k, cache.v, cache.length, sm)
+            new_cache = cache._replace(k=c_new, v=p_new,
+                                       length=cache.length + 1)
+            ctx = jnp.einsum("bhr,hrv->bhv", ctx_lat, w_uv
+                             ).reshape(B, 1, H * dv)
             return layer["o_proj"].apply(ctx), new_cache
         except _kernels.KernelUnsupported:
             pass
 
-    k_att, v_att, mask, new_cache = _cache_and_mask(cache, k, v, positions, x.dtype)
+    # XLA fallback (prefill, odd shapes, CPU): same absorbed math over the
+    # stored latent prefix
+    off = cache.length
+    c_all = _store(cache.k, c_kv[:, :, None, :], off, cache.k_scale)
+    p_all = _store(cache.v, pe_row, off, cache.v_scale)
+    new_cache = cache._replace(k=c_all, v=p_all, length=off + T)
+    c_read = _read(c_all, cache.k_scale, x.dtype)[:, 0]  # (B, S, r)
+    p_read = _read(p_all, cache.v_scale, x.dtype)[:, 0]
 
-    scores = jnp.einsum("bthd,bhsd->bhts", q, k_att,
-                        preferred_element_type=jnp.float32)
-    scores = scores * (1.0 / np.sqrt(dq))
+    S = c_read.shape[1]
+    kv_pos = jnp.arange(S)[None, :]
+    mask = kv_pos[None, :, :] <= positions[:, :, None]  # (B, T, S)
+    scores = (jnp.einsum("bthr,bsr->bhts", q_abs, c_read,
+                         preferred_element_type=jnp.float32)
+              + jnp.einsum("bthd,bsd->bhts", q_pe, p_read[:, :, :dr],
+                           preferred_element_type=jnp.float32)) * sm
     scores = jnp.where(mask[:, None, :, :], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    ctx = jnp.einsum("bhts,bhsd->bthd", probs, v_att).reshape(B, T, H * dv)
+    ctx_lat = jnp.einsum("bhts,bsr->bthr", probs, c_read)
+    ctx = jnp.einsum("bthr,hrv->bthv", ctx_lat, w_uv).reshape(B, T, H * dv)
+    return layer["o_proj"].apply(ctx), new_cache
 
-    if capture is not None:
-        capture["o_proj"] = ctx
-    out = layer["o_proj"].apply(ctx)
-    return out, new_cache
+
+def _mla_absorb_weights(layer: Dict[str, Any], spec: ModelSpec, dtype
+                        ) -> Tuple[jax.Array, jax.Array]:
+    """(W_uk^T (H, dn, r), W_uv (H, r, dv)) from kv_b_proj — precomputed
+    by fuse_for_decode for serving; derived inline otherwise (fine for
+    tests; inside a decode scan the inline dequant would re-run per step,
+    so production decode should always go through fuse_for_decode)."""
+    ab = layer.get("mla_absorb")
+    if ab is not None:
+        return ab["w_uk_t"].astype(dtype), ab["w_uv"].astype(dtype)
+    dn = spec.qk_nope_head_dim
+    dv = spec.v_head_dim or spec.head_dim
+    w = layer["kv_b_proj"].dequantize(dtype)  # (r, H*(dn+dv))
+    w = w.reshape(w.shape[0], spec.num_heads, dn + dv)
+    w_uk_t = jnp.transpose(w[..., :dn], (1, 2, 0))
+    w_uv = jnp.transpose(w[..., dn:], (1, 0, 2))
+    return w_uk_t, w_uv
 
 
 def dense_mlp(mlp: Dict[str, QuantLinear], x: jax.Array,
@@ -442,11 +493,13 @@ def fuse_for_decode(spec: ModelSpec, params: Dict[str, Any]) -> Dict[str, Any]:
         lyr = dict(layer)
         try:
             if spec.is_mla:
-                if spec.q_lora_rank and "q_a_proj" in lyr:
-                    lyr["qa_kva_proj"] = concat_linears(
-                        [lyr["q_a_proj"], lyr["kv_a_proj_with_mqa"]])
-                    # kept split for now (qa_kva used opportunistically later)
-                    del lyr["qa_kva_proj"]
+                if "kv_b_proj" in lyr and "mla_absorb" not in lyr:
+                    # absorbed-decode weights, hoisted out of the decode
+                    # scan (inline derivation would re-dequantize per step)
+                    w_uk_t, w_uv = _mla_absorb_weights(
+                        {k: v for k, v in lyr.items() if k != "mla_absorb"},
+                        spec, jnp.bfloat16)
+                    lyr["mla_absorb"] = {"w_uk_t": w_uk_t, "w_uv": w_uv}
             elif "q_proj" in lyr:
                 lyr["qkv_proj"] = concat_linears(
                     [lyr["q_proj"], lyr["k_proj"], lyr["v_proj"]])

@@ -555,15 +555,17 @@ def _dec_attn_kernel(len_ref, q_ref, nk_ref, nv_ref, kc_ref, vc_ref,
     2·KV small ones. Cross-head score blocks are masked to -inf and
     contribute zeros through the value dot.
 
-    The strip is fetched in ``n_chunks`` S-chunks and only chunks covering
-    rows [0, L] actually move — decode reads the *valid prefix*, not the
+    The strip fetch covers only the *valid prefix* [0, L], not the
     allocated window, so early-in-sequence steps cost a fraction of the
     full-cache roofline (the serving win that pushes vs_baseline past the
-    naive full-window model). Unread V rows are zeroed before the value
-    dot: their probability columns are exactly 0 after the mask+softmax,
-    but stale VMEM can hold NaN bit patterns and 0*NaN would poison the
-    row sums. Unread K rows need no such care — their scores are masked
-    to -1e30 before softmax.
+    naive full-window model). The prefix length is quantized to
+    ``n_chunks`` static sizes and exactly ONE ``pl.when`` branch fires a
+    single k + v DMA pair — a per-chunk copy loop costs 2 scalar-core DMA
+    issues per chunk and measured ~4x the strip's pure stream time at
+    B=8. Unread V rows are zeroed before the value dot: their probability
+    columns are exactly 0 after the mask+softmax, but stale VMEM can hold
+    NaN bit patterns and 0*NaN would poison the row sums. Unread K rows
+    need no such care — their scores are masked to -1e30 before softmax.
     """
     b = pl.program_id(0)
     L = len_ref[b]
@@ -572,17 +574,26 @@ def _dec_attn_kernel(len_ref, q_ref, nk_ref, nv_ref, kc_ref, vc_ref,
     # 8-row read-modify-write (~KV·4 KB, negligible next to the strip read)
     A = pl.multiple_of((L // 8) * 8, 8)
 
+    @pl.when(pl.program_id(0) == 0)
+    def _init_v():
+        # guard against NaN bit patterns in uninitialized VMEM: V rows
+        # beyond the valid prefix multiply exactly-zero probabilities
+        # (masked softmax), which is only safe for *finite* stale data.
+        # After this one-time zero fill every row holds finite values
+        # (zeros, or a previous batch row's real cache data).
+        vbuf[:] = jnp.zeros_like(vbuf)
+
     CH = S // n_chunks
     nread = L // CH + 1  # chunks covering rows 0..L (merge row included)
-    for c in range(n_chunks):
-        @pl.when(c < nread)
+    for c in range(1, n_chunks + 1):
+        @pl.when(nread == c)
         def _fetch(c=c):
-            pltpu.make_async_copy(kc_ref.at[b, :, pl.ds(c * CH, CH)],
-                                  kbuf.at[:, pl.ds(c * CH, CH)],
-                                  sk.at[c]).start()
-            pltpu.make_async_copy(vc_ref.at[b, :, pl.ds(c * CH, CH)],
-                                  vbuf.at[:, pl.ds(c * CH, CH)],
-                                  sv.at[c]).start()
+            pltpu.make_async_copy(kc_ref.at[b, :, pl.ds(0, c * CH)],
+                                  kbuf.at[:, pl.ds(0, c * CH)],
+                                  sk.at[0]).start()
+            pltpu.make_async_copy(vc_ref.at[b, :, pl.ds(0, c * CH)],
+                                  vbuf.at[:, pl.ds(0, c * CH)],
+                                  sv.at[0]).start()
     rk = pltpu.make_async_copy(ko_ref.at[b, :, pl.ds(A, 8)], k8, swk)
     rv = pltpu.make_async_copy(vo_ref.at[b, :, pl.ds(A, 8)], v8, swv)
     rk.start()
@@ -601,24 +612,24 @@ def _dec_attn_kernel(len_ref, q_ref, nk_ref, nv_ref, kc_ref, vc_ref,
     wk.start()
     wv.start()
 
-    for c in range(n_chunks):
-        @pl.when(c < nread)
+    for c in range(1, n_chunks + 1):
+        @pl.when(nread == c)
         def _join(c=c):
-            pltpu.make_async_copy(kc_ref.at[b, :, pl.ds(c * CH, CH)],
-                                  kbuf.at[:, pl.ds(c * CH, CH)],
-                                  sk.at[c]).wait()
-            pltpu.make_async_copy(vc_ref.at[b, :, pl.ds(c * CH, CH)],
-                                  vbuf.at[:, pl.ds(c * CH, CH)],
-                                  sv.at[c]).wait()
-    # merge the current token's row at register level (the strip read ran
-    # concurrently with the RMW write-back)
-    row = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1)
+            pltpu.make_async_copy(kc_ref.at[b, :, pl.ds(0, c * CH)],
+                                  kbuf.at[:, pl.ds(0, c * CH)],
+                                  sk.at[0]).wait()
+            pltpu.make_async_copy(vc_ref.at[b, :, pl.ds(0, c * CH)],
+                                  vbuf.at[:, pl.ds(0, c * CH)],
+                                  sv.at[0]).wait()
+    # resolve the fetch/write-back race on the A..A+8 window by storing
+    # the merged window into the strips (an aligned 8-row VMEM store; the
+    # full-S register-level `where` merge this replaces cost ~2 us/step)
+    kbuf[:, pl.ds(A, 8)] = k8[:]
+    vbuf[:, pl.ds(A, 8)] = v8[:]
     dk = kbuf.shape[-1]
     dv = vbuf.shape[-1]
-    k_use = jnp.where(row == L, new_k, kbuf[:]).reshape(KV * S, dk)
-    v_use = jnp.where(row == L, new_v,
-                      jnp.where(row > L, jnp.zeros_like(new_v), vbuf[:])
-                      ).reshape(KV * S, dv)
+    k_use = kbuf[:].reshape(KV * S, dk)
+    v_use = vbuf[:].reshape(KV * S, dv)
 
     q = q_ref[0].reshape(KV * rep, dk)
     scores = jax.lax.dot_general(
@@ -642,7 +653,9 @@ def _decode_attention_call(q, new_k, new_v, cache_k, cache_v, lengths,
     B, KV, rep, dk = q.shape
     S = cache_k.shape[2]
     dv = cache_v.shape[3]
-    # valid-prefix chunked fetch: largest chunk count <= 8 keeping 8|CH
+    # valid-prefix fetch granularity: one static-size DMA either way, but
+    # 16 branches measured slower than 8 (1513 vs 1537 tok/s on bench.py)
+    # — scalar-core branch evaluation outweighs the finer-prefix savings
     n_chunks = 8
     while n_chunks > 1 and S % (n_chunks * 8):
         n_chunks //= 2
@@ -673,8 +686,8 @@ def _decode_attention_call(q, new_k, new_v, cache_k, cache_v, lengths,
             pltpu.VMEM((KV, S, dv), cache_v.dtype),
             pltpu.VMEM((KV, 8, dk), cache_k.dtype),
             pltpu.VMEM((KV, 8, dv), cache_v.dtype),
-            pltpu.SemaphoreType.DMA((n_chunks,)),
-            pltpu.SemaphoreType.DMA((n_chunks,)),
+            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.SemaphoreType.DMA((1,)),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -728,6 +741,183 @@ def decode_attention(q, new_k, new_v, cache_k, cache_v, lengths,
     lengths = jnp.minimum(lengths.astype(jnp.int32), cache_k.shape[2] - 1)
     return _decode_attention_call(
         q, new_k[:, :, None, :], new_v[:, :, None, :], cache_k, cache_v,
+        lengths, sm_scale=float(sm_scale),
+        interpret=_interpret() if interpret is None else interpret)
+
+
+# ---------------------------------------------------------------------------
+# Absorbed (latent-cache) MLA decode attention
+# ---------------------------------------------------------------------------
+
+def _mla_dec_kernel(len_ref, qa_ref, qp_ref, nc_ref, np_ref, cc_ref, pc_ref,
+                    ctx_ref, co_ref, po_ref,
+                    cbuf, pbuf, c8, p8, sc, sp, swc, swp,
+                    *, S: int, r: int, dp: int, sm_scale: float,
+                    n_chunks: int):
+    """One grid step per batch row, MQA over the latent cache.
+
+    The absorbed MLA identity (DeepSeek-V2): with k_nope = W_uk c and
+    v = W_uv c, attention can run entirely in the r-dim latent space —
+    scores_h = (W_uk_h^T q_nope_h)·c + q_pe_h·k_pe and ctx_h = W_uv_h
+    (probs·C). The cache then stores one shared (c, k_pe) row per token
+    (r + rope_pad elements) instead of H expanded heads — ~H× less HBM
+    per decode step, and the dk%128 restriction that forced the expanded
+    path off the kernel (192-wide DeepSeek K heads) disappears because
+    r and the padded rope dim are 128-multiples.
+
+    Same structure as _dec_attn_kernel: quantized valid-prefix single-DMA
+    fetch, aligned 8-row RMW in-place append, NaN-sanitized value rows.
+    """
+    b = pl.program_id(0)
+    L = len_ref[b]
+    A = pl.multiple_of((L // 8) * 8, 8)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init_c():
+        # one-time zero fill: rows beyond the valid prefix meet exact-zero
+        # probabilities, which is only safe for finite stale data (see
+        # _dec_attn_kernel)
+        cbuf[:] = jnp.zeros_like(cbuf)
+
+    CH = S // n_chunks
+    nread = L // CH + 1
+    for c in range(1, n_chunks + 1):
+        @pl.when(nread == c)
+        def _fetch(c=c):
+            pltpu.make_async_copy(cc_ref.at[b, 0, pl.ds(0, c * CH)],
+                                  cbuf.at[pl.ds(0, c * CH)], sc.at[0]).start()
+            pltpu.make_async_copy(pc_ref.at[b, 0, pl.ds(0, c * CH)],
+                                  pbuf.at[pl.ds(0, c * CH)], sp.at[0]).start()
+
+    rc = pltpu.make_async_copy(co_ref.at[b, 0, pl.ds(A, 8)], c8, swc)
+    rp = pltpu.make_async_copy(po_ref.at[b, 0, pl.ds(A, 8)], p8, swp)
+    rc.start()
+    rp.start()
+
+    new_c = nc_ref[0]  # (1, r)
+    new_p = np_ref[0]  # (1, dp)
+
+    rc.wait()
+    rp.wait()
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    c8[:] = jnp.where(sub == L - A, new_c, c8[:])
+    p8[:] = jnp.where(sub == L - A, new_p, p8[:])
+    wc = pltpu.make_async_copy(c8, co_ref.at[b, 0, pl.ds(A, 8)], swc)
+    wp = pltpu.make_async_copy(p8, po_ref.at[b, 0, pl.ds(A, 8)], swp)
+    wc.start()
+    wp.start()
+
+    for c in range(1, n_chunks + 1):
+        @pl.when(nread == c)
+        def _join(c=c):
+            pltpu.make_async_copy(cc_ref.at[b, 0, pl.ds(0, c * CH)],
+                                  cbuf.at[pl.ds(0, c * CH)], sc.at[0]).wait()
+            pltpu.make_async_copy(pc_ref.at[b, 0, pl.ds(0, c * CH)],
+                                  pbuf.at[pl.ds(0, c * CH)], sp.at[0]).wait()
+
+    # merged-window store resolves the fetch/write-back race (see
+    # _dec_attn_kernel); cbuf doubles as the value operand
+    cbuf[pl.ds(A, 8)] = c8[:]
+    pbuf[pl.ds(A, 8)] = p8[:]
+    c_use = cbuf[:]
+    p_use = pbuf[:]
+
+    qa = qa_ref[0]  # (H, r)
+    qp = qp_ref[0]  # (H, dp)
+    scores = (jax.lax.dot_general(qa, c_use, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+              + jax.lax.dot_general(qp, p_use, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32))
+    scores = scores * sm_scale  # (H, S)
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where(col <= L, scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1).astype(c_use.dtype)
+    ctx_ref[0] = jnp.dot(probs, c_use,
+                         preferred_element_type=jnp.float32
+                         ).astype(ctx_ref.dtype)
+
+    wc.wait()
+    wp.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
+def _mla_decode_call(q_abs, q_pe, new_c, new_p, cache_c, cache_p, lengths,
+                     *, sm_scale, interpret):
+    B, H, r = q_abs.shape
+    dp = q_pe.shape[2]
+    S = cache_c.shape[2]
+    n_chunks = 8
+    while n_chunks > 1 and S % (n_chunks * 8):
+        n_chunks //= 2
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, r), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, dp), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, r), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, dp), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, H, r), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((S, r), cache_c.dtype),
+            pltpu.VMEM((S, dp), cache_p.dtype),
+            pltpu.VMEM((8, r), cache_c.dtype),
+            pltpu.VMEM((8, dp), cache_p.dtype),
+            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    ctx, c_out, p_out = pl.pallas_call(
+        functools.partial(_mla_dec_kernel, S=S, r=r, dp=dp,
+                          sm_scale=sm_scale, n_chunks=n_chunks),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, r), q_abs.dtype),
+            jax.ShapeDtypeStruct(cache_c.shape, cache_c.dtype),
+            jax.ShapeDtypeStruct(cache_p.shape, cache_p.dtype),
+        ],
+        # 0=lengths 1=q_abs 2=q_pe 3=new_c 4=new_p 5=cache_c 6=cache_p
+        input_output_aliases={5: 1, 6: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(lengths, q_abs, q_pe, new_c, new_p, cache_c, cache_p)
+    return ctx, c_out, p_out
+
+
+def mla_decode_attention(q_abs, q_pe, new_c, new_p, cache_c, cache_p,
+                         lengths, sm_scale: float,
+                         interpret: Optional[bool] = None):
+    """Absorbed one-token MLA attention over the latent cache, appended in
+    place. q_abs (B, H, r); q_pe (B, H, rope_pad); new_c (B, r); new_p
+    (B, rope_pad); cache_c (B, 1, S, r); cache_p (B, 1, S, rope_pad);
+    lengths (B,). Returns (ctx_lat (B, H, r), cache_c', cache_p')."""
+    if cache_c.dtype != q_abs.dtype:
+        raise KernelUnsupported("mixed-dtype latent cache -> XLA path")
+    B, H, r = q_abs.shape
+    dp = q_pe.shape[2]
+    if r % 128 or dp % 128:
+        raise KernelUnsupported("mla decode kernel needs 128|r and 128|rope_pad")
+    if cache_c.shape[2] % 8:
+        raise KernelUnsupported("mla decode kernel needs 8|S")
+    lengths = jnp.minimum(lengths.astype(jnp.int32), cache_c.shape[2] - 1)
+    return _mla_decode_call(
+        q_abs, q_pe, new_c[:, None, :], new_p[:, None, :], cache_c, cache_p,
         lengths, sm_scale=float(sm_scale),
         interpret=_interpret() if interpret is None else interpret)
 

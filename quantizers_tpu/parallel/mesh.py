@@ -124,6 +124,15 @@ def param_pspecs(spec: ModelSpec, params: Dict[str, Any], mesh: Mesh) -> Dict[st
             out["kv_a_proj_with_mqa"] = _linear_pspecs(layer["kv_a_proj_with_mqa"], 1, None)
             out["kv_a_layernorm"] = P(None)
             out["kv_b_proj"] = _linear_pspecs(layer["kv_b_proj"], 1, tp)
+            if "mla_absorb" in layer:
+                # absorbed-decode weights: head axis over tp, matching the
+                # column-parallel kv_b split they were derived from
+                out["mla_absorb"] = {"w_uk_t": P(tp, None, None),
+                                     "w_uv": P(tp, None, None)}
+        elif "qkv_proj" in layer:
+            # fused decode layout (fuse_for_decode): one column-parallel
+            # concat; GSPMD reshards the in-kernel q/k/v slices as needed
+            out["qkv_proj"] = _linear_pspecs(layer["qkv_proj"], 1, tp)
         else:
             for name in ("q_proj", "k_proj", "v_proj"):
                 out[name] = _linear_pspecs(layer[name], 1, tp)
@@ -154,11 +163,17 @@ def param_pspecs(spec: ModelSpec, params: Dict[str, Any], mesh: Mesh) -> Dict[st
             out["moe"] = mout
         else:
             mlp = layer["mlp"]
-            out["mlp"] = {
-                "gate_proj": _linear_pspecs(mlp["gate_proj"], 1, tp),
-                "up_proj": _linear_pspecs(mlp["up_proj"], 1, tp),
-                "down_proj": _linear_pspecs(mlp["down_proj"], 0, tp),
-            }
+            if "gateup_proj" in mlp:
+                out["mlp"] = {
+                    "gateup_proj": _linear_pspecs(mlp["gateup_proj"], 1, tp),
+                    "down_proj": _linear_pspecs(mlp["down_proj"], 0, tp),
+                }
+            else:
+                out["mlp"] = {
+                    "gate_proj": _linear_pspecs(mlp["gate_proj"], 1, tp),
+                    "up_proj": _linear_pspecs(mlp["up_proj"], 1, tp),
+                    "down_proj": _linear_pspecs(mlp["down_proj"], 0, tp),
+                }
         return out
 
     return {

@@ -182,9 +182,10 @@ class TestMLA:
         ids = (jnp.arange(T, dtype=jnp.int32)[None, :] * 5 + 2) % spec.vocab_size
         full, _ = forward(params, spec, ids)
         caches = KVCache.init(spec, batch=1, max_len=16)
-        # MLA cache shapes: K carries nope+rope dims, V carries v_head_dim
-        assert caches[0].k.shape == (1, spec.num_heads, 16, spec.qk_head_dim)
-        assert caches[0].v.shape == (1, spec.num_heads, 16, spec.v_head_dim)
+        # MLA latent cache: one shared (c_kv, padded rope-k) row per token
+        assert caches[0].k.shape == (1, 1, 16, spec.kv_lora_rank)
+        rope_pad = -(-spec.qk_rope_head_dim // 128) * 128
+        assert caches[0].v.shape == (1, 1, 16, rope_pad)
         pre, caches = forward(params, spec, ids[:, :4], caches=caches)
         np.testing.assert_allclose(
             np.asarray(pre, np.float32), np.asarray(full[:, :4], np.float32),

@@ -256,6 +256,51 @@ class TestDecodeAttention:
         np.testing.assert_allclose(np.asarray(v2, np.float32), ref_v,
                                    rtol=1e-2, atol=1e-2)
 
+    def test_mla_decode_kernel_matches_reference(self):
+        """Absorbed latent-cache MLA decode kernel vs a numpy oracle."""
+        from quantizers_tpu.ops.kernels import mla_decode_attention
+
+        rng = np.random.default_rng(1)
+        B, H, r, dp, S = 2, 4, 128, 128, 16
+        dr = 64  # real rope dims in the padded head
+        q_abs = jnp.asarray(rng.standard_normal((B, H, r)) * 0.3, jnp.bfloat16)
+        q_pe = jnp.asarray(
+            np.pad(rng.standard_normal((B, H, dr)) * 0.3,
+                   ((0, 0), (0, 0), (0, dp - dr))), jnp.bfloat16)
+        new_c = jnp.asarray(rng.standard_normal((B, r)) * 0.3, jnp.bfloat16)
+        new_p = jnp.asarray(
+            np.pad(rng.standard_normal((B, dr)) * 0.3,
+                   ((0, 0), (0, dp - dr))), jnp.bfloat16)
+        cc = jnp.asarray(rng.standard_normal((B, 1, S, r)) * 0.3, jnp.bfloat16)
+        cp = jnp.asarray(
+            np.pad(rng.standard_normal((B, 1, S, dr)) * 0.3,
+                   ((0, 0), (0, 0), (0, 0), (0, dp - dr))), jnp.bfloat16)
+        lengths = jnp.asarray([3, 7], jnp.int32)
+        sm = 1.0 / np.sqrt(192)
+
+        ctx, c2, p2 = mla_decode_attention(q_abs, q_pe, new_c, new_p,
+                                           cc, cp, lengths, sm, interpret=True)
+
+        c_np = np.asarray(cc, np.float32).copy()
+        p_np = np.asarray(cp, np.float32).copy()
+        ref = np.zeros((B, H, r), np.float32)
+        for b in range(B):
+            L = int(lengths[b])
+            c_np[b, 0, L] = np.asarray(new_c, np.float32)[b]
+            p_np[b, 0, L] = np.asarray(new_p, np.float32)[b]
+            for h in range(H):
+                s = (c_np[b, 0, :L + 1] @ np.asarray(q_abs, np.float32)[b, h]
+                     + p_np[b, 0, :L + 1] @ np.asarray(q_pe, np.float32)[b, h]
+                     ) * sm
+                pr = np.exp(s - s.max()); pr /= pr.sum()
+                ref[b, h] = pr @ c_np[b, 0, :L + 1]
+        np.testing.assert_allclose(np.asarray(ctx, np.float32), ref,
+                                   rtol=4e-2, atol=4e-2)
+        np.testing.assert_allclose(np.asarray(c2, np.float32), c_np,
+                                   rtol=1e-2, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(p2, np.float32), p_np,
+                                   rtol=1e-2, atol=1e-2)
+
     def test_model_decode_uses_same_math(self):
         """forward() decode with hd=128 (kernel-eligible shapes) matches the
         full-context forward on CPU interpret mode."""
