@@ -54,6 +54,14 @@ def _fp4_values(codes):
 
 
 def _dequant(codes_src, scale_ref, *, mode, k):
+    if mode == "f4":
+        # native float4_e2m1fn payload: ONE cvt instead of the ~14-op
+        # branchless E2M1 arithmetic chain
+        vals = codes_src[:].astype(jnp.bfloat16)
+        n = vals.shape[-1]
+        s = scale_ref[:]  # bf16
+        w = (vals.reshape(k // G, G, n) * s[:, None, :]).reshape(k, n)
+        return w
     packed = codes_src[:].astype(jnp.int32)
     if mode == "nodec":
         vals = jnp.concatenate([packed, packed], axis=0).astype(jnp.float32)
@@ -67,6 +75,56 @@ def _dequant(codes_src, scale_ref, *, mode, k):
     s = scale_ref[:].astype(jnp.float32)
     w = (vals.reshape(k // G, G, n) * s[:, None, :]).reshape(k, n)
     return w.astype(jnp.bfloat16)
+
+
+def kernel2(idx_ref, x_ref, gw_ref, gs_ref, uw_ref, us_ref, dw_ref, ds_ref,
+            o_ref, gbuf, gsb, ubuf, usb, dbuf, dsb, acc, sems, *, mode):
+    """pair2: TWO slots per grid step, single-buffered (no prefetch) —
+    measures whether independent per-slot dot chains ILP-overlap on the
+    MXU (the hypothesis for the 15.6 us/slot sequencing gap)."""
+    g_i = pl.program_id(0)
+    banks = ((gw_ref, gbuf, 0), (gs_ref, gsb, 1), (uw_ref, ubuf, 2),
+             (us_ref, usb, 3), (dw_ref, dbuf, 4), (ds_ref, dsb, 5))
+
+    @pl.when(g_i == 0)
+    def _first():
+        acc[:] = jnp.zeros_like(acc)
+
+    cps = []
+    for sl in (0, 1):
+        e = idx_ref[g_i * 2 + sl]
+        cps += [pltpu.make_async_copy(src.at[e], dst.at[sl],
+                                      sems.at[sl * 6 + j])
+                for src, dst, j in banks]
+    for cp in cps:
+        cp.start()
+
+    ys = []
+    xs = []
+    for sl in (0, 1):
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+               == g_i * 2 + sl).astype(jnp.bfloat16)
+        xs.append(jnp.dot(sel, x_ref[:], preferred_element_type=jnp.float32
+                          ).astype(jnp.bfloat16))
+    for cp in cps:
+        cp.wait()
+    for sl in (0, 1):
+        gate_w = _dequant(gbuf.at[sl], gsb.at[sl], mode="full", k=D)
+        up_w = _dequant(ubuf.at[sl], usb.at[sl], mode="full", k=D)
+        gv = jnp.dot(xs[sl], gate_w, preferred_element_type=jnp.float32)
+        uv = jnp.dot(xs[sl], up_w, preferred_element_type=jnp.float32)
+        a = (jax.nn.silu(gv) * uv).astype(jnp.bfloat16)
+        down_w = _dequant(dbuf.at[sl], dsb.at[sl], mode="full", k=Fe)
+        ys.append(jnp.dot(a, down_w, preferred_element_type=jnp.float32))
+    for sl in (0, 1):
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+               == g_i * 2 + sl).astype(jnp.bfloat16)
+        acc[:] += jnp.dot(sel.T, ys[sl].astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(g_i == S // 2 - 1)
+    def _write():
+        o_ref[:] = acc[:]
 
 
 def kernel(idx_ref, x_ref, gw_ref, gs_ref, uw_ref, us_ref, dw_ref, ds_ref,
@@ -137,9 +195,10 @@ def kernel(idx_ref, x_ref, gw_ref, gs_ref, uw_ref, us_ref, dw_ref, ds_ref,
 
 def make_call(mode, shapes):
     def call(x, idx, gw, gs, uw, us, dw, ds):
+        pair = mode == "pair2"
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(S,),
+            grid=(S // 2 if pair else S,),
             in_specs=[pl.BlockSpec((S, D), lambda s, *_: (0, 0),
                                    memory_space=pltpu.VMEM)]
             + [pl.BlockSpec(memory_space=pltpu.ANY)] * 6,
@@ -157,7 +216,7 @@ def make_call(mode, shapes):
             ],
         )
         return pl.pallas_call(
-            functools.partial(kernel, mode=mode),
+            functools.partial(kernel2 if pair else kernel, mode=mode),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((S, D), jnp.float32),
             compiler_params=pltpu.CompilerParams(
@@ -170,6 +229,16 @@ def make_call(mode, shapes):
 @functools.partial(jax.jit, static_argnames=("mode", "reps"))
 def run(x, idxs, stacks, *, mode, reps):
     call = make_call(mode, None)
+
+    if mode == "f4":
+        def conv(st):
+            gw, gs, uw, us, dw, ds = st
+            def to_f4(p):
+                wide = p.astype(jnp.int32)
+                codes = jnp.concatenate([wide & 0x0F, wide >> 4], axis=1)
+                return _fp4_values(codes).astype(jnp.float4_e2m1fn)
+            return (to_f4(gw), gs, to_f4(uw), us, to_f4(dw), ds)
+        stacks = [conv(st) for st in stacks]
 
     def step(carry, i):
         x, acc = carry

@@ -231,6 +231,24 @@ def attention(layer: Dict[str, Any], spec: ModelSpec, x: jax.Array,
 
     k_att, v_att, mask, new_cache = _cache_and_mask(cache, k, v, positions, x.dtype)
 
+    if cache is None and T > 1:
+        # calibration / no-cache forward: blockwise flash attention keeps
+        # memory linear in T (8k calibration windows would otherwise
+        # materialize (B, H, T, T) scores); einsum fallback for shapes the
+        # tiling rejects (tiny tests, odd head dims)
+        from ..ops import flash as _flash
+        from ..ops.kernels import KernelUnsupported as _KU
+
+        try:
+            ctx = _flash.flash_attention(
+                jnp.swapaxes(q, 1, 2), k_att, v_att, 1.0 / np.sqrt(hd))
+            ctx = jnp.swapaxes(ctx, 1, 2).reshape(B, T, H * hd)
+            if capture is not None:
+                capture["o_proj"] = ctx
+            return layer["o_proj"].apply(ctx), None
+        except _KU:
+            pass
+
     # GQA without materializing repeated KV: fold the head-group axis into
     # the query side (a jnp.repeat here would stream rep× the KV cache out
     # of HBM every decode step — the dominant cost at small batch).

@@ -319,6 +319,71 @@ class TestDecodeAttention:
             rtol=3e-2, atol=3e-2)
 
 
+class TestFlashAttention:
+    """Blockwise prefill attention vs the einsum oracle (interpret mode)."""
+
+    def _oracle(self, q, k, v, sm):
+        B, H, T, d = q.shape
+        KV = k.shape[1]
+        rep = H // KV
+        kr = np.repeat(k, rep, axis=1)
+        vr = np.repeat(v, rep, axis=1)
+        s = np.einsum("bhtd,bhsd->bhts", q, kr) * sm
+        mask = np.tril(np.ones((T, T), bool))
+        s = np.where(mask, s, -1e30)
+        p = np.exp(s - s.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        return np.einsum("bhts,bhsd->bhtd", p, vr)
+
+    @pytest.mark.parametrize("rep", [1, 2])
+    def test_matches_einsum(self, rep):
+        from quantizers_tpu.ops.flash import flash_attention
+
+        rng = np.random.default_rng(7)
+        B, KV, T, d = 2, 2, 64, 128
+        H = KV * rep
+        q = jnp.asarray(rng.standard_normal((B, H, T, d)) * 0.3, jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((B, KV, T, d)) * 0.3, jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((B, KV, T, d)) * 0.3, jnp.bfloat16)
+        sm = 1.0 / np.sqrt(d)
+        out = flash_attention(q, k, v, sm, block_q=16, block_k=16,
+                              interpret=True)
+        ref = self._oracle(np.asarray(q, np.float32), np.asarray(k, np.float32),
+                           np.asarray(v, np.float32), sm)
+        np.testing.assert_allclose(np.asarray(out, np.float32), ref,
+                                   rtol=4e-2, atol=4e-2)
+
+    def test_unsupported_shapes_raise(self):
+        from quantizers_tpu.ops.flash import flash_attention
+        from quantizers_tpu.ops.kernels import KernelUnsupported
+
+        q = jnp.zeros((1, 2, 6, 128), jnp.bfloat16)
+        kv = jnp.zeros((1, 2, 6, 128), jnp.bfloat16)
+        with pytest.raises(KernelUnsupported):
+            flash_attention(q, kv, kv, 1.0, interpret=True)  # 6 % 8
+        q = jnp.zeros((1, 2, 8, 64), jnp.bfloat16)
+        kv = jnp.zeros((1, 2, 8, 64), jnp.bfloat16)
+        with pytest.raises(KernelUnsupported):
+            flash_attention(q, kv, kv, 1.0, interpret=True)  # 64 % 128
+
+    def test_model_forward_flash_path_matches(self):
+        """A no-cache forward on flash-eligible shapes (hd=128, 8|T) must
+        match a flash-ineligible equivalent run (einsum fallback at odd
+        T), i.e. the flash wiring changes nothing numerically."""
+        from quantizers_tpu.models import ModelSpec, forward, init_params
+
+        spec = ModelSpec.tiny(num_heads=2, num_kv_heads=1, head_dim=128,
+                              hidden_size=256, intermediate_size=128)
+        params = init_params(spec, jax.random.PRNGKey(4))
+        ids = jnp.asarray((np.arange(16)[None, :] * 11 + 2) % spec.vocab_size,
+                          jnp.int32)
+        full, _ = forward(params, spec, ids)          # T=16 -> flash
+        odd, _ = forward(params, spec, ids[:, :15])   # T=15 -> einsum
+        np.testing.assert_allclose(
+            np.asarray(full[:, :15], np.float32), np.asarray(odd, np.float32),
+            rtol=3e-2, atol=3e-2)
+
+
 class TestMoESlotFFN:
     """Fused slot-FFN kernel vs the XLA gathered reference."""
 
