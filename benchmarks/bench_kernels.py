@@ -37,6 +37,8 @@ def log(*a):
 
 
 def make_lin(kind: str, key) -> QuantLinear:
+    if kind == "nvfp4i8":
+        kind = "nvfp4"
     if kind in ("w4u8", "w4i4"):
         w = jax.random.bits(key, (K // 2, N), dtype=jnp.uint8)
         return QuantLinear(kind="w4", weight=w,
@@ -78,7 +80,16 @@ def run(x, lins, *, kind, reps):
 
         lins = [dataclasses.replace(l, weight=w4_packed_to_int4(l.weight))
                 for l in lins]
-    fn = KK.KERNELS[{"w4u8": "w4", "w4i4": "w4"}.get(kind, kind)]
+    elif kind == "nvfp4i8":
+        import dataclasses
+
+        from quantizers_tpu.ops.linear import nvfp4_packed_to_i8
+
+        lins = [dataclasses.replace(
+            l, weight=nvfp4_packed_to_i8(l.weight),
+            scale=(l.scale.astype(jnp.float32) * 0.5).astype(l.scale.dtype))
+            for l in lins]
+    fn = KK.KERNELS[{"w4u8": "w4", "w4i4": "w4", "nvfp4i8": "nvfp4"}.get(kind, kind)]
 
     def step(carry, _):
         x, acc = carry
@@ -94,7 +105,7 @@ def run(x, lins, *, kind, reps):
 
 
 def main():
-    kinds = sys.argv[1:] or ["w4i4", "w4u8", "w8", "fp8", "nvfp4"]
+    kinds = sys.argv[1:] or ["w4i4", "w4u8", "w8", "fp8", "nvfp4i8"]
     log(f"backend={jax.default_backend()} K={K} N={N} m=8")
     results = {}
     for kind in kinds:

@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""nvfp4 serving-layout lab: the f4 cvt is EMULATED on v5e (34 GB/s,
+bench_kernels.py) and the packed-u8 kernel crashes Mosaic at dense
+shapes, so nvfp4 needs another layout. Candidate: int8 storing 2x the
+E2M1 value (exact: 2v in {0,±1,±2,±3,±4,±6,±8,±12}), scale halved.
+
+Variants (gate shape K=2560 N=9728 g=16, m=8, 8 HBM replicas):
+  i8dots   — int8 payload, per-group dots (K=16) + f32 partial scaling
+             (the w4i4 pattern; unknown: does Mosaic take K=16 dots?)
+  i8resh   — int8 payload, (bk//16, 16, bn) reshape-broadcast scale at
+             bn=2432 tiles (crash check: reshape-scale died at bn=9728)
+  i8rbig   — i8resh at bn=9728 full-row (expected compiler crash)
+  i44dots  — dual signed-int4 payloads a+b=2v, two hardware cvts + add,
+             per-group dots
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+K, N, G = 2560, 9728, 16
+NREP = 8
+R1, R2 = 512, 4096
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def body(x_ref, w_ref, s_ref, o_ref, acc, *, mode, bk, bn, n_k):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _zero():
+        acc[:] = jnp.zeros_like(acc)
+
+    x = x_ref[:]
+    s = s_ref[:].astype(jnp.float32)
+    gcount = bk // G
+    if mode in ("i8dots",):
+        w = w_ref[:].astype(jnp.int32).astype(jnp.bfloat16)
+        for gi in range(gcount):
+            part = jnp.dot(x[:, gi * G:(gi + 1) * G], w[gi * G:(gi + 1) * G, :],
+                           preferred_element_type=jnp.float32)
+            acc[:] += part * s[gi:gi + 1, :]
+    elif mode in ("i8resh", "i8rbig"):
+        w = w_ref[:].astype(jnp.int32).astype(jnp.float32)
+        wd = (w.reshape(gcount, G, bn) * s[:, None, :]).reshape(bk, bn)
+        acc[:] += jnp.dot(x, wd.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    elif mode == "i44dots":
+        a_ref, b_ref = w_ref
+        w = a_ref[:].astype(jnp.bfloat16) + b_ref[:].astype(jnp.bfloat16)
+        for gi in range(gcount):
+            part = jnp.dot(x[:, gi * G:(gi + 1) * G], w[gi * G:(gi + 1) * G, :],
+                           preferred_element_type=jnp.float32)
+            acc[:] += part * s[gi:gi + 1, :]
+    else:
+        raise ValueError(mode)
+
+    @pl.when(ki == n_k - 1)
+    def _write():
+        o_ref[:] = acc[:].astype(o_ref.dtype)
+
+
+def make_call(mode):
+    bn = {"i8resh": 2432}.get(mode, N)
+    bk = 256
+    n_k = K // bk
+
+    def call(x2, w, s):
+        if mode == "i44dots":
+            a, b = w
+            wspecs = [
+                pl.BlockSpec((bk, bn), lambda i, j, ki: (ki, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bk, bn), lambda i, j, ki: (ki, j), memory_space=pltpu.VMEM),
+            ]
+            ops = [a, b]
+        else:
+            wspecs = [pl.BlockSpec((bk, bn), lambda i, j, ki: (ki, j),
+                                   memory_space=pltpu.VMEM)]
+            ops = [w]
+
+        def kern(x_ref, *rest):
+            if mode == "i44dots":
+                a_ref, b_ref, s_ref, o_ref, acc = rest
+                body(x_ref, (a_ref, b_ref), s_ref, o_ref, acc,
+                     mode=mode, bk=bk, bn=bn, n_k=n_k)
+            else:
+                w_ref, s_ref, o_ref, acc = rest
+                body(x_ref, w_ref, s_ref, o_ref, acc,
+                     mode=mode, bk=bk, bn=bn, n_k=n_k)
+
+        return pl.pallas_call(
+            kern,
+            grid=(1, N // bn, n_k),
+            in_specs=[pl.BlockSpec((8, bk), lambda i, j, ki: (i, ki),
+                                   memory_space=pltpu.VMEM)]
+            + wspecs
+            + [pl.BlockSpec((bk // G, bn), lambda i, j, ki: (ki, j),
+                            memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((8, bn), lambda i, j, ki: (i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, N), jnp.bfloat16),
+            scratch_shapes=[pltpu.VMEM((8, bn), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+        )(x2, *ops, s)
+
+    return call
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "reps"))
+def run(x2, ws, ss, *, mode, reps):
+    call = make_call(mode)
+
+    def step(carry, _):
+        x, acc = carry
+        for w, s in zip(ws, ss):
+            y = call(x, w, s)
+            acc = acc + y[0, 0].astype(jnp.float32)
+            x = x + y[:, :1].astype(x.dtype) * 1e-9
+        return (x, acc), ()
+
+    (_, acc), _ = jax.lax.scan(step, (x2, jnp.zeros((), jnp.float32)),
+                               None, length=reps // NREP)
+    return acc
+
+
+def main():
+    modes = sys.argv[1:] or ["i8dots", "i8resh", "i44dots", "i8rbig"]
+    log(f"backend={jax.default_backend()} NREP={NREP}")
+    key = jax.random.PRNGKey(0)
+    v2 = jnp.asarray([0, 1, 2, 3, 4, 6, 8, 12, 0, -1, -2, -3, -4, -6, -8, -12],
+                     jnp.int8)
+    codes = jax.random.randint(key, (NREP, K, N), 0, 16, jnp.int32)
+    w_i8 = v2[codes]
+    x2 = jnp.ones((8, K), jnp.bfloat16)
+    scale = jnp.full((NREP, K // G, N), 0.01, jnp.bfloat16)
+    # payload bytes for "effective vs the 4-bit ideal" accounting
+    bytes_i8 = K * N + (K // G) * N * 2
+
+    for mode in modes:
+        try:
+            if mode == "i44dots":
+                a = jnp.clip(w_i8, -7, 7).astype(jnp.int4)
+                b = (w_i8 - jnp.clip(w_i8, -7, 7).astype(jnp.int8)).astype(jnp.int4)
+                ws = [(a[i], b[i]) for i in range(NREP)]
+            else:
+                ws = [w_i8[i] for i in range(NREP)]
+            ss = [scale[i] for i in range(NREP)]
+            times = {}
+            for reps in (R1, R2):
+                t0 = time.time()
+                np.asarray(run(x2, ws, ss, mode=mode, reps=reps))
+                comp = time.time() - t0
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.time()
+                    np.asarray(run(x2, ws, ss, mode=mode, reps=reps))
+                    best = min(best, time.time() - t0)
+                times[reps] = best
+                log(f"  {mode} reps={reps}: {best*1e3:.1f} ms (compile {comp:.0f}s)")
+            per = (times[R2] - times[R1]) / (R2 - R1)
+            eff = bytes_i8 / per / 1e9
+            log(f"{mode:8s}: {per*1e6:7.2f} us/call  {eff:5.0f} GB/s")
+        except Exception as e:
+            log(f"{mode:8s}: FAILED {type(e).__name__}: {str(e)[:200]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -150,7 +150,10 @@ def _slot_dequant(el: ExpertLinears, idx: jax.Array) -> jax.Array:
     k, n = int(md["k"]), int(md["n"])
     if el.kind == "w4":
         g = int(md["group_size"])
-        vals = jax.vmap(_unpack_nibbles)(w).astype(jnp.float32)[:, :k]
+        if w.dtype == jnp.int4:  # converted device layout (already signed)
+            vals = w.astype(jnp.float32)
+        else:
+            vals = jax.vmap(_unpack_nibbles)(w).astype(jnp.float32)[:, :k]
         vals = vals.reshape(vals.shape[0], -1, g, n)
         if el.zero_point is not None:
             vals = vals - el.zero_point[idx][:, :, None, :].astype(jnp.float32)
@@ -158,7 +161,10 @@ def _slot_dequant(el: ExpertLinears, idx: jax.Array) -> jax.Array:
                 ).reshape(-1, k, n).astype(jnp.bfloat16)
     if el.kind == "nvfp4":
         g = int(md.get("group_size", 16))
-        vals = jax.vmap(_unpack_fp4)(w)[:, :k]
+        if w.dtype == jnp.int8:  # converted layout: 2x values, scale halved
+            vals = w.astype(jnp.float32)
+        else:
+            vals = jax.vmap(_unpack_fp4)(w)[:, :k]
         vals = vals.reshape(vals.shape[0], -1, g, n)
         return (vals * s[:, :, None, :].astype(jnp.float32)
                 ).reshape(-1, k, n).astype(jnp.bfloat16)

@@ -61,13 +61,14 @@ _W_TILE_BYTES = 2_600_000
 
 
 def _pick_tiles(k_rows: int, n: int, row_quantum: int,
-                n_quantum: int = 128, elem_bytes: float = 1.0) -> Tuple[int, int]:
+                n_quantum: int = 128, elem_bytes: float = 1.0,
+                budget: int = _W_TILE_BYTES) -> Tuple[int, int]:
     """Choose (block_rows, bn) for a (k_rows, n) weight operand: prefer
     bn == n (contiguous DMA), then the largest row-divisor multiple of
     ``row_quantum`` fitting the tile budget. ``elem_bytes`` sizes the
     payload element (0.5 for int4)."""
     bn = n
-    while bn > n_quantum and (n % bn or bn * row_quantum * elem_bytes > _W_TILE_BYTES):
+    while bn > n_quantum and (n % bn or bn * row_quantum * elem_bytes > budget):
         # walk down through divisors of n that are multiples of n_quantum
         bn -= n_quantum
         while bn > n_quantum and n % bn:
@@ -75,7 +76,7 @@ def _pick_tiles(k_rows: int, n: int, row_quantum: int,
     best = 0
     r = row_quantum
     while r <= k_rows:
-        if k_rows % r == 0 and r * bn * elem_bytes <= _W_TILE_BYTES:
+        if k_rows % r == 0 and r * bn * elem_bytes <= budget:
             best = r
         r += row_quantum
     if best == 0:
@@ -357,19 +358,93 @@ def _nvfp4_matmul_2d(x2, packed, scale, *, g, bm, bn, bk2, interpret):
     )(x2, x2, packed, scale, scale)
 
 
+def _nvfp4_i8_kernel(x_ref, w_ref, s_ref, o_ref, acc, *, g: int, bk: int, n_k: int):
+    """int8-doubled nvfp4 layout (2x values, halved scales): plain int
+    widen+cvt replaces the branchless E2M1 arithmetic chain that made the
+    packed-u8 kernel compute-bound (and crash Mosaic at dense shapes).
+    Measured 713 GB/s at full-row tiles — benchmarks/kernel_lab7.py."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _zero():
+        acc[:] = jnp.zeros_like(acc)
+
+    vals = w_ref[:].astype(jnp.int32).astype(jnp.float32)
+    s = s_ref[:].astype(jnp.float32)
+    n = vals.shape[-1]
+    w = (vals.reshape(bk // g, g, n) * s[:, None, :]).reshape(bk, n)
+    acc[:] += jnp.dot(x_ref[:], w.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+
+    @pl.when(ki == n_k - 1)
+    def _write():
+        o_ref[:] = acc[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("g", "bm", "bn", "bk", "interpret"))
+def _nvfp4_i8_matmul_2d(x2, w_i8, scale, *, g, bm, bn, bk, interpret):
+    m, k = x2.shape
+    _, n = w_i8.shape
+    n_k = k // bk
+    grid = (m // bm, n // bn, n_k)
+
+    return pl.pallas_call(
+        functools.partial(_nvfp4_i8_kernel, g=g, bk=bk, n_k=n_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, ki: (i, ki), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, ki: (ki, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // g, bn), lambda i, j, ki: (ki, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, ki: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=m * k * 2 + k * n + (k // g) * n * 2 + m * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2, w_i8, scale)
+
+
 def nvfp4_matmul(x: jax.Array, lin: QuantLinear, interpret: Optional[bool] = None) -> jax.Array:
     md = lin.meta_dict
     k, n, g = int(md["k"]), int(md["n"]), int(md.get("group_size", 16))
     if k % (2 * g) or n % 128:
         raise KernelUnsupported(f"nvfp4 kernel needs 2g|K and 128|N (k={k}, n={n})")
 
-    bk2, bn = _pick_tiles(k // 2, n, 8 * g)  # scale tile rows (bk2/g) must be %8
-
     x2, lead = _flatten_x(x, k)
     m = x2.shape[0]
     bm = 16 if m <= 16 else (32 if m <= 32 else 128)
-    x2 = _pad_m(x2.astype(jnp.bfloat16), bm)
 
+    weight, scale = lin.weight, lin.scale
+    if weight.dtype == jnp.uint8 and not _interpret():
+        # compiled TPU path: the packed-u8 nvfp4 kernel crashes the Mosaic
+        # compiler at production shapes (bench_kernels.py); convert to the
+        # int8-doubled layout in place. Serving params are pre-converted
+        # by i4_device_layout, so this only costs calibration-style
+        # callers one extra weight pass.
+        from .linear import nvfp4_packed_to_i8
+
+        weight = nvfp4_packed_to_i8(weight)
+        scale = (scale.astype(jnp.float32) * 0.5).astype(scale.dtype)
+
+    if weight.dtype == jnp.int8:
+        bk, bn = _pick_tiles(k, n, 8 * g)
+        x2 = _pad_m(x2.astype(jnp.bfloat16), bm)
+        out = _nvfp4_i8_matmul_2d(
+            x2, weight, scale, g=g, bm=bm, bn=bn, bk=bk,
+            interpret=_interpret() if interpret is None else interpret,
+        )
+        return out[:m].reshape(*lead, n).astype(x.dtype)
+
+    bk2, bn = _pick_tiles(k // 2, n, 8 * g)  # scale tile rows (bk2/g) must be %8
+
+    x2 = _pad_m(x2.astype(jnp.bfloat16), bm)
     out = _nvfp4_matmul_2d(
         x2, lin.weight, lin.scale, g=g, bm=bm, bn=bn, bk2=bk2,
         interpret=_interpret() if interpret is None else interpret,
@@ -381,38 +456,51 @@ def nvfp4_matmul(x: jax.Array, lin: QuantLinear, interpret: Optional[bool] = Non
 # FP8 block (128x128): w fp8 (K, N), scale f32 (K/128, N/128)
 # ---------------------------------------------------------------------------
 
-def _fp8_kernel(x_ref, w_ref, s_ref, o_ref, acc, *, bk: int, bn: int, n_k: int):
+def _fp8_kernel(x_ref, w_ref, s_ref, o_ref, acc, *, bn: int, n_k: int):
+    """One 128-row k-block per grid step. The scale row for this step is
+    selected by a statically-unrolled ``pl.when`` ladder over the FULL
+    resident scale block — a (1, bn) slice then broadcasts over the
+    weight block's sublanes naturally. Every other formulation of
+    128x128-block scaling dies on TPU tiling rules or crashes Mosaic:
+    (bk//128, bn//128) scale blocks have 2-8 sublane rows (rejected),
+    and both jnp.repeat and pltpu.repeat lane expansions of row-expanded
+    scales crash the compiler at production shapes
+    (benchmarks/bench_kernels.py caught all three)."""
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
     def _zero():
         acc[:] = jnp.zeros_like(acc)
 
-    w = w_ref[:].astype(jnp.float32)
-    scale = s_ref[:]  # (bk/128, bn/128) f32
-    up = jnp.repeat(jnp.repeat(scale, 128, axis=0), 128, axis=1)
-    wd = (w * up).astype(jnp.bfloat16)
-    acc[:] += jnp.dot(x_ref[:], wd, preferred_element_type=jnp.float32)
+    for r in range(n_k):
+        @pl.when(ki == r)
+        def _step(r=r):
+            wd = (w_ref[:].astype(jnp.float32) * s_ref[r:r + 1, :]
+                  ).astype(jnp.bfloat16)
+            acc[:] += jnp.dot(x_ref[:], wd, preferred_element_type=jnp.float32)
 
     @pl.when(ki == n_k - 1)
     def _write():
         o_ref[:] = acc[:].astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "interpret"))
-def _fp8_matmul_2d(x2, w8, scale, *, bm, bn, bk, interpret):
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "interpret"))
+def _fp8_matmul_2d(x2, w8, scale_n, *, bm, bn, interpret):
+    # scale_n is pre-expanded along N to (K/128, N) f32 (1/256 of the
+    # weight bytes); the (k//128, bn) block is legal because its row
+    # count equals the full array dim.
     m, k = x2.shape
     _, n = w8.shape
-    n_k = k // bk
+    n_k = k // 128
     grid = (m // bm, n // bn, n_k)
 
     return pl.pallas_call(
-        functools.partial(_fp8_kernel, bk=bk, bn=bn, n_k=n_k),
+        functools.partial(_fp8_kernel, bn=bn, n_k=n_k),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bm, bk), lambda i, j, ki: (i, ki), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk, bn), lambda i, j, ki: (ki, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk // 128, bn // 128), lambda i, j, ki: (ki, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 128), lambda i, j, ki: (i, ki), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, bn), lambda i, j, ki: (ki, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_k, bn), lambda i, j, ki: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, ki: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
@@ -422,11 +510,11 @@ def _fp8_matmul_2d(x2, w8, scale, *, bm, bn, bk, interpret):
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * n * k,
-            bytes_accessed=m * k * 2 + k * n + (k // 128) * (n // 128) * 4 + m * n * 2,
+            bytes_accessed=m * k * 2 + k * n + (k // 128) * n * 4 + m * n * 2,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x2, w8, scale)
+    )(x2, w8, scale_n)
 
 
 def fp8_matmul(x: jax.Array, lin: QuantLinear, interpret: Optional[bool] = None) -> jax.Array:
@@ -434,19 +522,31 @@ def fp8_matmul(x: jax.Array, lin: QuantLinear, interpret: Optional[bool] = None)
     k, n = int(md["k"]), int(md["n"])
     if md.get("strategy") != "block":
         raise KernelUnsupported("fp8 kernel currently covers block strategy only")
+    if not (_interpret() if interpret is None else interpret):
+        # compiled TPU: every fused formulation of 128x128 block scaling
+        # measured or crashed worse than XLA's dequant+matmul fallback —
+        # (bk//128, bn//128) scale blocks violate tiling rules, both
+        # repeat-based lane expansions crash Mosaic, and the unrolled
+        # pl.when row ladder runs at 15 GB/s (benchmarks/bench_kernels.py).
+        # Until a viable formulation exists, hardware goes through XLA.
+        raise KernelUnsupported("fp8-block fused kernel loses to the XLA path on TPU")
     bk_blk, bn_blk = int(md["block_k"]), int(md["block_n"])
     if bk_blk != 128 or bn_blk != 128 or k % 128 or n % 128:
         raise KernelUnsupported(f"fp8 kernel needs 128x128 blocks and 128|K,N (k={k}, n={n})")
 
     bk, bn = _pick_tiles(k, n, 128)
+    del bk  # the kernel steps in fixed 128-row k-blocks
+    if bn % 128:
+        raise KernelUnsupported(f"fp8 kernel needs 128|bn (bn={bn})")
 
     x2, lead = _flatten_x(x, k)
     m = x2.shape[0]
     bm = 16 if m <= 16 else (32 if m <= 32 else 128)
     x2 = _pad_m(x2.astype(jnp.bfloat16), bm)
 
+    scale_n = jnp.repeat(lin.scale.astype(jnp.float32), 128, axis=1)[:, :n]
     out = _fp8_matmul_2d(
-        x2, lin.weight, lin.scale.astype(jnp.float32), bm=bm, bn=bn, bk=bk,
+        x2, lin.weight, scale_n, bm=bm, bn=bn,
         interpret=_interpret() if interpret is None else interpret,
     )
     return out[:m].reshape(*lead, n).astype(x.dtype)
@@ -927,57 +1027,60 @@ def mla_decode_attention(q_abs, q_pe, new_c, new_p, cache_c, cache_p,
 # expert weights, streaming ONLY the routed experts out of HBM
 # ---------------------------------------------------------------------------
 
-def _dequant_tile(codes_src, scale_ref, *, kind: str, g: int, k: int):
-    """VMEM u8/int8 payload (k_rows, n) -> bf16 (k, n) dequantized weights."""
-    if kind == "w4":
-        packed = codes_src[:].astype(jnp.int32)
-        vals = jnp.concatenate([(packed & 0x0F), packed >> 4], axis=0
-                               ).astype(jnp.float32) - 8.0
-    elif kind == "nvfp4":
-        packed = codes_src[:].astype(jnp.int32)
-        from .linear import _fp4_values  # local import to avoid cycle at module load
+def _dequant_tile(codes, scale_ref, *, kind: str, g: int, k: int):
+    """One expert's payload block -> bf16 (k, n) dequantized weights.
 
-        vals = _fp4_values(jnp.concatenate([(packed & 0x0F), packed >> 4], axis=0))
+    ``codes`` is the (rows, n) VMEM block value: packed uint8 (split-half
+    nibbles, the host/interpret layout), signed int4, or int8-doubled
+    (the TPU serving layouts — one hardware cvt instead of the u8
+    shift/mask or ~14-op branchless E2M1 chain, which measured as the
+    whole slot-kernel bottleneck in benchmarks/lab_moe2.py)."""
+    if codes.dtype == jnp.int4:
+        # stay in bf16 end to end: an f32 intermediate at expert-payload
+        # shape is ~6 MB of extra VMEM liveness per matrix and OOMs the
+        # 16 MB scoped budget at production MoE geometry
+        vals = codes.astype(jnp.bfloat16)
+    elif codes.dtype == jnp.int8:
+        vals = codes.astype(jnp.int32).astype(jnp.bfloat16)
+    elif codes.dtype == jnp.uint8:
+        packed = codes.astype(jnp.int32)
+        lo, hi = packed & 0x0F, packed >> 4
+        if kind == "nvfp4":
+            from .linear import _fp4_values  # local import to avoid cycle
+
+            vals = _fp4_values(jnp.concatenate([lo, hi], axis=0)
+                               ).astype(jnp.bfloat16)
+        else:
+            vals = (jnp.concatenate([lo, hi], axis=0) - 8).astype(jnp.bfloat16)
     else:
-        raise ValueError(kind)
+        raise ValueError(str(codes.dtype))
     n = vals.shape[-1]
-    s = scale_ref[:].astype(jnp.float32)  # (k//g, n)
-    w = (vals.reshape(k // g, g, n) * s[:, None, :]).reshape(k, n)
-    return w.astype(jnp.bfloat16)
+    s = scale_ref[:].astype(jnp.bfloat16)  # (k//g, n)
+    return (vals.reshape(k // g, g, n) * s[:, None, :]).reshape(k, n)
 
 
 def _moe_slot_ffn_kernel(idx_ref, x_ref,
                          gw_ref, gs_ref, uw_ref, us_ref, dw_ref, ds_ref,
-                         o_ref,
-                         gbuf, gsb, ubuf, usb, dbuf, dsb, acc, sems,
-                         *, kind: str, g: int, D: int, Fe: int, S: int):
-    """Double-buffered slot pipeline: while slot ``s`` computes, slot
-    ``s+1``'s expert payloads (id known from the scalar-prefetched index
-    array) stream into the other VMEM bank — DMA hides under the dequant
-    VPU work. All payload scratch buffers have a leading bank axis (2, ...).
+                         o_ref, acc,
+                         *, kind: str, g: int, D: int, Fe: int, S: int,
+                         NF: int):
+    """Grid (slot, Fe-slice); the expert payload blocks arrive via
+    scalar-prefetch BlockSpec index maps (``idx_ref[s]`` picks the expert
+    row), so Pallas's own grid pipeline double-buffers the HBM streams —
+    and *skips* the fetch entirely when consecutive slots map to the same
+    expert (the caller sorts slots by expert id to maximize those hits).
+    The Fe-slice axis bounds VMEM: slice fi computes
+    ``silu(x@G[:, fi]) * (x@U[:, fi]) @ Dn[fi, :]`` — a self-contained
+    partial of the down sum, so per-step payload blocks are 1/NF-sized
+    (full-payload blocks OOM the 16 MB scoped budget at Qwen3-30B
+    geometry).
     """
     s_i = pl.program_id(0)
-    banks = ((gw_ref, gbuf, 0), (gs_ref, gsb, 1), (uw_ref, ubuf, 2),
-             (us_ref, usb, 3), (dw_ref, dbuf, 4), (ds_ref, dsb, 5))
+    f_i = pl.program_id(1)
 
-    def copies(step, bank):
-        e = idx_ref[step]
-        return [pltpu.make_async_copy(src.at[e], dst.at[bank],
-                                      sems.at[bank * 6 + j])
-                for src, dst, j in banks]
-
-    bank = jax.lax.rem(s_i, 2)
-
-    @pl.when(s_i == 0)
-    def _first():
+    @pl.when((s_i == 0) & (f_i == 0))
+    def _zero():
         acc[:] = jnp.zeros_like(acc)
-        for cp in copies(0, 0):
-            cp.start()
-
-    @pl.when(s_i + 1 < S)
-    def _prefetch_next():
-        for cp in copies(s_i + 1, jax.lax.rem(s_i + 1, 2)):
-            cp.start()
 
     # dynamic row reads/writes of VMEM are illegal (sublane alignment), so
     # the token row is selected and the output row written via one-hot
@@ -986,60 +1089,63 @@ def _moe_slot_ffn_kernel(idx_ref, x_ref,
     x_s = jnp.dot(sel, x_ref[:], preferred_element_type=jnp.float32
                   ).astype(jnp.bfloat16)  # (1, D)
 
-    for cp in copies(s_i, bank):
-        cp.wait()
-    gate_w = _dequant_tile(gbuf.at[bank], gsb.at[bank], kind=kind, g=g, k=D)
-    up_w = _dequant_tile(ubuf.at[bank], usb.at[bank], kind=kind, g=g, k=D)
-    gv = jnp.dot(x_s, gate_w, preferred_element_type=jnp.float32)  # (1, Fe)
+    fe = Fe // NF
+    gate_w = _dequant_tile(gw_ref[0], gs_ref.at[0], kind=kind, g=g, k=D)
+    up_w = _dequant_tile(uw_ref[0], us_ref.at[0], kind=kind, g=g, k=D)
+    gv = jnp.dot(x_s, gate_w, preferred_element_type=jnp.float32)  # (1, fe)
     uv = jnp.dot(x_s, up_w, preferred_element_type=jnp.float32)
     a = (jax.nn.silu(gv) * uv).astype(jnp.bfloat16)
-    down_w = _dequant_tile(dbuf.at[bank], dsb.at[bank], kind=kind, g=g, k=Fe)
+    down_w = _dequant_tile(dw_ref[0], ds_ref.at[0], kind=kind, g=g, k=fe)
     y = jnp.dot(a, down_w, preferred_element_type=jnp.float32)  # (1, D)
     acc[:] += jnp.dot(sel.T, y.astype(jnp.bfloat16),
                       preferred_element_type=jnp.float32)
 
-    @pl.when(s_i == S - 1)
+    @pl.when((s_i == S - 1) & (f_i == NF - 1))
     def _write():
         o_ref[:] = acc[:]
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "g", "interpret"))
-def _moe_slot_ffn_call(x, idx, gw, gs, uw, us, dw, ds, *, kind, g, interpret):
+@functools.partial(jax.jit, static_argnames=("kind", "g", "nf", "interpret"))
+def _moe_slot_ffn_call(x, idx, gw, gs, uw, us, dw, ds, *, kind, g, nf,
+                       interpret):
     S, D = x.shape
-    Fe = gw.shape[-1]
-    k2g, k2d = gw.shape[1], dw.shape[1]
+    Fe = gs.shape[-1]
+
+    def col_spec(arr):
+        # slice the trailing (Fe) axis by f_i
+        shape = (1,) + arr.shape[1:-1] + (arr.shape[-1] // nf,)
+        return pl.BlockSpec(shape, lambda s, fi, idx_ref: (idx_ref[s], 0, fi),
+                            memory_space=pltpu.VMEM)
+
+    def row_spec(arr):
+        # slice the middle (Fe-derived rows) axis by f_i
+        shape = (1, arr.shape[1] // nf, arr.shape[2])
+        return pl.BlockSpec(shape, lambda s, fi, idx_ref: (idx_ref[s], fi, 0),
+                            memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(S,),
+        grid=(S, nf),
         in_specs=[
-            pl.BlockSpec((S, D), lambda s, *_: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((S, D), lambda s, fi, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            col_spec(gw), col_spec(gs),
+            col_spec(uw), col_spec(us),
+            row_spec(dw), row_spec(ds),
         ],
-        out_specs=pl.BlockSpec((S, D), lambda s, *_: (0, 0),
+        out_specs=pl.BlockSpec((S, D), lambda s, fi, *_: (0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2,) + gw.shape[1:], gw.dtype),
-            pltpu.VMEM((2,) + gs.shape[1:], gs.dtype),
-            pltpu.VMEM((2,) + uw.shape[1:], uw.dtype),
-            pltpu.VMEM((2,) + us.shape[1:], us.dtype),
-            pltpu.VMEM((2,) + dw.shape[1:], dw.dtype),
-            pltpu.VMEM((2,) + ds.shape[1:], ds.dtype),
             pltpu.VMEM((S, D), jnp.float32),
-            pltpu.SemaphoreType.DMA((12,)),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_moe_slot_ffn_kernel, kind=kind, g=g, D=D, Fe=Fe, S=S),
+        functools.partial(_moe_slot_ffn_kernel, kind=kind, g=g,
+                          D=D, Fe=Fe, S=S, NF=nf),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((S, D), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(idx, x, gw, gs, uw, us, dw, ds)
 
@@ -1047,11 +1153,13 @@ def _moe_slot_ffn_call(x, idx, gw, gs, uw, us, dw, ds, *, kind, g, interpret):
 def moe_slot_ffn(x, idx, gate_el, up_el, down_el,
                  interpret: Optional[bool] = None):
     """Gated FFN for ``S = tokens*top_k`` expert slots: per grid step one
-    expert's quantized gate/up/down payloads are DMA'd from the stacked
-    (E, ...) arrays (dynamic leading index) and dequantized in VMEM —
-    HBM traffic is exactly the routed experts, and nothing bf16-sized is
-    ever materialized in HBM (the XLA gathered path spends ~6 ms/layer
-    doing that).
+    expert's quantized gate/up/down payloads stream from the stacked
+    (E, ...) arrays (scalar-prefetched dynamic expert index in the
+    BlockSpec index maps) and are dequantized in VMEM — HBM traffic is
+    exactly the routed experts, and nothing bf16-sized is ever
+    materialized in HBM. Slots are processed in expert-sorted order so
+    repeated experts within a batch are fetched once (the pipeline skips
+    same-index blocks).
 
     x (S, D) bf16 — the slot's token row repeated per expert slot;
     idx (S,) int32 expert ids. Returns (S, D) f32 FFN outputs (un-combined).
@@ -1064,11 +1172,40 @@ def moe_slot_ffn(x, idx, gate_el, up_el, down_el,
     md = dict(gate_el.meta)
     g = int(md.get("group_size", 16 if kind == "nvfp4" else 32))
     S, D = x.shape
+    Fe = int(md["n"])
     if S % 8 or D % 128 or int(dict(down_el.meta)["k"]) % 128:
         raise KernelUnsupported("moe_slot_ffn needs 8|S and 128|D,Fe")
-    return _moe_slot_ffn_call(
-        x.astype(jnp.bfloat16), idx.astype(jnp.int32),
+
+    # Fe-slice factor: keep a slot's per-step payload under ~4.5 MB so the
+    # pipeline's double buffers fit scoped VMEM at 30B-class geometry
+    def slot_bytes(nf: int) -> float:
+        per = 0.0
+        for el in (gate_el, up_el, down_el):
+            el_bytes = el.weight.size * el.weight.dtype.itemsize
+            if el.scale is not None:
+                el_bytes += el.scale.size * el.scale.dtype.itemsize
+            per += el_bytes / el.weight.shape[0]
+        return per / nf
+
+    def nf_ok(nf: int) -> bool:
+        if Fe % nf:
+            return False
+        fe = Fe // nf
+        dn_srows = fe // g
+        return (fe % 128 == 0 and fe % g == 0
+                and (nf == 1 or dn_srows % 8 == 0))
+
+    nf = 1
+    while slot_bytes(nf) > 4_500_000 and nf_ok(nf * 2):
+        nf *= 2
+
+    idx = idx.astype(jnp.int32)
+    order = jnp.argsort(idx)
+    inv = jnp.argsort(order)
+    out = _moe_slot_ffn_call(
+        x.astype(jnp.bfloat16)[order], idx[order],
         gate_el.weight, gate_el.scale, up_el.weight, up_el.scale,
         down_el.weight, down_el.scale,
-        kind=kind, g=g,
+        kind=kind, g=g, nf=nf,
         interpret=_interpret() if interpret is None else interpret)
+    return out[inv]

@@ -63,9 +63,30 @@ def w4_packed_to_int4(packed: jax.Array) -> jax.Array:
     return jnp.concatenate([lo, hi], axis=0).astype(jnp.int4)
 
 
+def nvfp4_packed_to_i8(packed: jax.Array) -> jax.Array:
+    """Split-half packed E2M1 codes uint8 (..., K//2, N) -> int8 (..., K, N)
+    holding **2x the E2M1 value** (exact: 2v in {0,±1,±2,±3,±4,±6,±8,±12}).
+    The companion scale must be halved. 2x the HBM bytes of the packed
+    form, but the kernel-side decode is a plain int widen+cvt — the
+    ~14-op branchless E2M1 chain was the slot-kernel bottleneck and the
+    native-f4 cvt turned out to be emulated on v5e (34 GB/s,
+    benchmarks/bench_kernels.py)."""
+    wide = packed.astype(jnp.int32)
+    codes = jnp.concatenate([wide & 0x0F, wide >> 4], axis=-2)
+    return (2.0 * _fp4_values(codes)).astype(jnp.int8)
+
+
+    # (A native float4_e2m1fn layout was tried first — it compiles and is
+    # numerically exact, but v5e has no hardware fp4 unpack: Mosaic
+    # emulates the cvt at ~34 GB/s. int8 at 2x bytes streams at 713 GB/s
+    # full-row — 2.2x more effective per weight. benchmarks/kernel_lab7.py)
+
+
 def i4_device_layout(tree: Any) -> Any:
-    """Swap every symmetric w4 :class:`QuantLinear` payload in a params
-    pytree for the signed-int4 layout (see :func:`w4_packed_to_int4`).
+    """Swap quantized payloads in a params pytree for the fast TPU device
+    layouts: symmetric w4 -> signed int4 (:func:`w4_packed_to_int4`),
+    nvfp4 -> int8-doubled (:func:`nvfp4_packed_to_i8`) — for both
+    plain :class:`QuantLinear` s and stacked MoE ``ExpertLinears``.
     No-op off TPU, for asymmetric layouts, and for already-converted
     leaves — safe to call unconditionally at every jit entry point."""
     from .dispatch import _on_tpu
@@ -73,15 +94,35 @@ def i4_device_layout(tree: Any) -> Any:
     if not _on_tpu():
         return tree
 
+    from ..models.moe import ExpertLinears
+
     def conv(x):
-        if (isinstance(x, QuantLinear) and x.kind == "w4"
-                and x.zero_point is None and x.weight.dtype == jnp.uint8
-                and int(dict(x.meta)["k"]) == 2 * x.weight.shape[0]):
+        if not isinstance(x, (QuantLinear, ExpertLinears)):
+            return x
+        if x.zero_point is not None or x.weight.dtype != jnp.uint8:
+            return x
+        rows_axis = -2
+        packed_rows = x.weight.shape[rows_axis]
+        if int(dict(x.meta)["k"]) != 2 * packed_rows:
+            return x
+        if x.kind == "w4":
+            if isinstance(x, ExpertLinears):
+                lo = (x.weight.astype(jnp.int32) & 0x0F) - 8
+                hi = (x.weight.astype(jnp.int32) >> 4) - 8
+                w = jnp.concatenate([lo, hi], axis=-2).astype(jnp.int4)
+                return dataclasses.replace(x, weight=w)
             return dataclasses.replace(x, weight=w4_packed_to_int4(x.weight))
+        if x.kind == "nvfp4":
+            # int8 stores 2x the E2M1 value; the halved scale keeps every
+            # consumer (dequantize, kernels, gather paths) layout-agnostic
+            return dataclasses.replace(
+                x, weight=nvfp4_packed_to_i8(x.weight),
+                scale=(x.scale.astype(jnp.float32) * 0.5).astype(x.scale.dtype))
         return x
 
     return jax.tree_util.tree_map(
-        conv, tree, is_leaf=lambda x: isinstance(x, QuantLinear))
+        conv, tree,
+        is_leaf=lambda x: isinstance(x, QuantLinear) or hasattr(x, "num_experts"))
 
 
 def _fp4_values(codes: jax.Array) -> jax.Array:
@@ -190,7 +231,11 @@ class QuantLinear:
                 w = vals * self.scale.astype(jnp.float32)
             return w.astype(dtype)
         if self.kind == "nvfp4":
-            vals = _unpack_fp4(self.weight)[:k]
+            if self.weight.dtype == jnp.int8:  # converted device layout
+                # values are 2x, the stored scale is already halved
+                vals = self.weight.astype(jnp.float32)[:k]
+            else:
+                vals = _unpack_fp4(self.weight)[:k]
             g = int(md.get("group_size", 16))
             vals = vals.reshape(-1, g, n)
             w = vals * self.scale[:, None, :].astype(jnp.float32)

@@ -146,6 +146,31 @@ class TestPallasInterpret:
             np.asarray(lin_i4.dequantize(jnp.float32)),
             np.asarray(lin.dequantize(jnp.float32)), rtol=0, atol=0)
 
+    def test_nvfp4_kernel_i8_layout(self):
+        """The int8-doubled device layout (2x values, halved scale) must
+        match the packed-u8 nvfp4 kernel and dequantize() exactly."""
+        import dataclasses
+
+        from quantizers_tpu.core.scheme import PRESET_SCHEMES
+        from quantizers_tpu.ops.linear import nvfp4_packed_to_i8
+
+        args = PRESET_SCHEMES["NVFP4"].weights
+        w = rand((256, 512), seed=31)
+        qt = quantize(w, args)
+        lin = from_quantized(qt, args)
+        lin_i8 = dataclasses.replace(
+            lin, weight=nvfp4_packed_to_i8(lin.weight),
+            scale=(lin.scale.astype(jnp.float32) * 0.5).astype(lin.scale.dtype))
+        assert lin_i8.weight.shape == (512, 256)
+        assert lin_i8.weight.dtype == jnp.int8
+        x = rand((4, 512), seed=32, scale=0.5)
+        y_u8 = np.asarray(K.nvfp4_matmul(x, lin, interpret=True), np.float32)
+        y_i8 = np.asarray(K.nvfp4_matmul(x, lin_i8, interpret=True), np.float32)
+        np.testing.assert_allclose(y_i8, y_u8, rtol=2e-2, atol=2e-2)
+        np.testing.assert_allclose(
+            np.asarray(lin_i8.dequantize(jnp.float32)),
+            np.asarray(lin.dequantize(jnp.float32)), rtol=1e-6, atol=1e-7)
+
     def test_i4_device_layout_treemap(self):
         """i4_device_layout converts symmetric w4 leaves (and only those)
         inside jit; off-TPU (this CI) it must be an identity."""
@@ -425,3 +450,42 @@ class TestMoESlotFFN:
         ref = jnp.einsum("sf,sfd->sd", a, dw, preferred_element_type=jnp.float32)
         np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
                                    rtol=5e-2, atol=5e-2)
+
+    @pytest.mark.parametrize("kind", ["w4", "nvfp4"])
+    def test_converted_device_layout_matches(self, kind):
+        """The int4/float4 serving layouts (the TPU fast path) must agree
+        with the packed-u8 kernel and the XLA gather reference."""
+        import dataclasses as dc
+
+        from quantizers_tpu.models.moe import ExpertLinears, _slot_dequant
+        from quantizers_tpu.ops.kernels import moe_slot_ffn
+        from quantizers_tpu.ops.linear import nvfp4_packed_to_i8
+
+        E, D, Fe, S = 4, 256, 128, 8
+        els = [self._experts(kind, E, D, Fe, 11), self._experts(kind, E, D, Fe, 12),
+               self._experts(kind, E, Fe, D, 13)]
+
+        def conv(el: ExpertLinears) -> ExpertLinears:
+            if kind == "w4":
+                lo = (el.weight.astype(jnp.int32) & 0x0F) - 8
+                hi = (el.weight.astype(jnp.int32) >> 4) - 8
+                w = jnp.concatenate([lo, hi], axis=-2).astype(jnp.int4)
+                return dc.replace(el, weight=w)
+            w = nvfp4_packed_to_i8(el.weight)
+            s = (el.scale.astype(jnp.float32) * 0.5).astype(el.scale.dtype)
+            return dc.replace(el, weight=w, scale=s)
+
+        gate, up, down = els
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.standard_normal((S, D)), jnp.bfloat16)
+        idx = jnp.asarray(rng.integers(0, E, S), jnp.int32)
+
+        y_u8 = moe_slot_ffn(x, idx, gate, up, down, interpret=True)
+        y_cv = moe_slot_ffn(x, idx, conv(gate), conv(up), conv(down),
+                            interpret=True)
+        np.testing.assert_allclose(np.asarray(y_cv), np.asarray(y_u8),
+                                   rtol=3e-2, atol=3e-2)
+        # gather fallback understands the converted layout too
+        gw1 = np.asarray(_slot_dequant(gate, idx))
+        gw2 = np.asarray(_slot_dequant(conv(gate), idx))
+        np.testing.assert_allclose(gw1, gw2, rtol=1e-2, atol=1e-2)
