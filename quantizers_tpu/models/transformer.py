@@ -21,8 +21,6 @@ through llmcompressor (``scripts/do_oneshot.py:177-187``). Design:
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 
 import jax

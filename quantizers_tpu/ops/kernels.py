@@ -668,32 +668,44 @@ def _dec_attn_kernel(len_ref, q_ref, nk_ref, nv_ref, kc_ref, vc_ref,
     need no such care — their scores are masked to -1e30 before softmax.
     """
     b = pl.program_id(0)
+    B = pl.num_programs(0)
+    bank = jax.lax.rem(b, 2)
     L = len_ref[b]
     # aligned 8-row window containing L — Mosaic only allows HBM slices at
     # provable sublane multiples, so the in-place row write is an aligned
     # 8-row read-modify-write (~KV·4 KB, negligible next to the strip read)
     A = pl.multiple_of((L // 8) * 8, 8)
 
-    @pl.when(pl.program_id(0) == 0)
-    def _init_v():
-        # guard against NaN bit patterns in uninitialized VMEM: V rows
-        # beyond the valid prefix multiply exactly-zero probabilities
-        # (masked softmax), which is only safe for *finite* stale data.
-        # After this one-time zero fill every row holds finite values
-        # (zeros, or a previous batch row's real cache data).
-        vbuf[:] = jnp.zeros_like(vbuf)
-
     CH = S // n_chunks
-    nread = L // CH + 1  # chunks covering rows 0..L (merge row included)
-    for c in range(1, n_chunks + 1):
-        @pl.when(nread == c)
-        def _fetch(c=c):
-            pltpu.make_async_copy(kc_ref.at[b, :, pl.ds(0, c * CH)],
-                                  kbuf.at[:, pl.ds(0, c * CH)],
-                                  sk.at[0]).start()
-            pltpu.make_async_copy(vc_ref.at[b, :, pl.ds(0, c * CH)],
-                                  vbuf.at[:, pl.ds(0, c * CH)],
-                                  sv.at[0]).start()
+
+    def fetch(step, bank_i):
+        # strip DMA for batch row `step` into bank `bank_i` — issued one
+        # grid step AHEAD so the ~2.7 us fetch latency hides under the
+        # previous row's compute instead of serializing with it
+        Ls = len_ref[step]
+        nr = Ls // CH + 1
+        for c in range(1, n_chunks + 1):
+            @pl.when(nr == c)
+            def _f(c=c):
+                pltpu.make_async_copy(kc_ref.at[step, :, pl.ds(0, c * CH)],
+                                      kbuf.at[bank_i, :, pl.ds(0, c * CH)],
+                                      sk.at[bank_i]).start()
+                pltpu.make_async_copy(vc_ref.at[step, :, pl.ds(0, c * CH)],
+                                      vbuf.at[bank_i, :, pl.ds(0, c * CH)],
+                                      sv.at[bank_i]).start()
+
+    @pl.when(b == 0)
+    def _first():
+        # zero both V banks once: rows beyond the valid prefix multiply
+        # exactly-zero probabilities (masked softmax), which is only safe
+        # for *finite* stale data — uninitialized VMEM can hold NaN bits
+        vbuf[:] = jnp.zeros_like(vbuf)
+        fetch(0, 0)
+
+    @pl.when(b + 1 < B)
+    def _prefetch():
+        fetch(b + 1, jax.lax.rem(b + 1, 2))
+
     rk = pltpu.make_async_copy(ko_ref.at[b, :, pl.ds(A, 8)], k8, swk)
     rv = pltpu.make_async_copy(vo_ref.at[b, :, pl.ds(A, 8)], v8, swv)
     rk.start()
@@ -712,24 +724,25 @@ def _dec_attn_kernel(len_ref, q_ref, nk_ref, nv_ref, kc_ref, vc_ref,
     wk.start()
     wv.start()
 
+    nread = L // CH + 1  # chunks covering rows 0..L (merge row included)
     for c in range(1, n_chunks + 1):
         @pl.when(nread == c)
         def _join(c=c):
             pltpu.make_async_copy(kc_ref.at[b, :, pl.ds(0, c * CH)],
-                                  kbuf.at[:, pl.ds(0, c * CH)],
-                                  sk.at[0]).wait()
+                                  kbuf.at[bank, :, pl.ds(0, c * CH)],
+                                  sk.at[bank]).wait()
             pltpu.make_async_copy(vc_ref.at[b, :, pl.ds(0, c * CH)],
-                                  vbuf.at[:, pl.ds(0, c * CH)],
-                                  sv.at[0]).wait()
+                                  vbuf.at[bank, :, pl.ds(0, c * CH)],
+                                  sv.at[bank]).wait()
     # resolve the fetch/write-back race on the A..A+8 window by storing
     # the merged window into the strips (an aligned 8-row VMEM store; the
     # full-S register-level `where` merge this replaces cost ~2 us/step)
-    kbuf[:, pl.ds(A, 8)] = k8[:]
-    vbuf[:, pl.ds(A, 8)] = v8[:]
+    kbuf[bank, :, pl.ds(A, 8)] = k8[:]
+    vbuf[bank, :, pl.ds(A, 8)] = v8[:]
     dk = kbuf.shape[-1]
     dv = vbuf.shape[-1]
-    k_use = kbuf[:].reshape(KV * S, dk)
-    v_use = vbuf[:].reshape(KV * S, dv)
+    k_use = kbuf[bank].reshape(KV * S, dk)
+    v_use = vbuf[bank].reshape(KV * S, dv)
 
     q = q_ref[0].reshape(KV * rep, dk)
     scores = jax.lax.dot_general(
@@ -782,12 +795,12 @@ def _decode_attention_call(q, new_k, new_v, cache_k, cache_v, lengths,
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((KV, S, dk), cache_k.dtype),
-            pltpu.VMEM((KV, S, dv), cache_v.dtype),
+            pltpu.VMEM((2, KV, S, dk), cache_k.dtype),
+            pltpu.VMEM((2, KV, S, dv), cache_v.dtype),
             pltpu.VMEM((KV, 8, dk), cache_k.dtype),
             pltpu.VMEM((KV, 8, dv), cache_v.dtype),
-            pltpu.SemaphoreType.DMA((1,)),
-            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
