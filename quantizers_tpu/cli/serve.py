@@ -8,10 +8,17 @@ checkpoint into kernel-ready layouts and decodes prompts through the
 
     python -m quantizers_tpu.cli.serve <ckpt_dir> --prompt "..." \
         [--prompt-file prompts.txt] [--max-new-tokens 64] \
-        [--max-batch 8] [--max-len 2048] [--platform cpu]
+        [--max-batch 8] [--max-len 2048] [--platform cpu] \
+        [--mesh dp=1,tp=4]
 
 Prompts come from ``--prompt`` (repeatable) and/or ``--prompt-file``
 (one prompt per line); outputs print as ``<rid>\t<text>`` lines.
+
+``--mesh`` shards weights over the local devices under the framework's
+GSPMD rules (tp column/row splits, ep for experts). Multi-host runs
+additionally set the ``QTPU_COORDINATOR`` / ``QTPU_NUM_PROCESSES`` /
+``QTPU_PROCESS_ID`` environment (see ``parallel.distributed``); the
+hybrid mesh then keeps tp/ep on ICI and dp across hosts.
 """
 
 from __future__ import annotations
@@ -36,6 +43,8 @@ def main(argv=None) -> int:
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--max-len", type=int, default=2048)
     p.add_argument("--platform", default=None)
+    p.add_argument("--mesh", default=None,
+                   help="mesh axes, e.g. dp=1,tp=4 (shards weights over devices)")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO, force=True)
 
@@ -75,17 +84,36 @@ def main(argv=None) -> int:
         elif isinstance(v, list):
             eos.extend(int(e) for e in v)
 
-    batcher = ContinuousBatcher(spec, params, max_batch=args.max_batch,
-                                max_len=args.max_len, eos_ids=eos)
-    rid_to_prompt = {}
-    for text in prompts:
-        ids = tokenizer(text)["input_ids"]
-        rid = batcher.submit(ids, max_new_tokens=args.max_new_tokens)
-        rid_to_prompt[rid] = text
+    import contextlib
 
-    t0 = time.time()
-    results = batcher.run()
-    dt = time.time() - t0
+    ctx = contextlib.nullcontext()
+    if args.mesh:
+        from ..parallel import shard_params
+        from ..parallel.distributed import (
+            initialize,
+            make_pod_mesh,
+            parse_mesh_arg,
+        )
+
+        initialize()  # no-op unless QTPU_* multi-process env is set
+        mesh = make_pod_mesh(parse_mesh_arg(args.mesh))
+        params = shard_params(spec, params, mesh)
+        logger.info("sharded params over mesh %s", dict(
+            zip(mesh.axis_names, mesh.devices.shape)))
+        ctx = mesh
+
+    with ctx:
+        batcher = ContinuousBatcher(spec, params, max_batch=args.max_batch,
+                                    max_len=args.max_len, eos_ids=eos)
+        rid_to_prompt = {}
+        for text in prompts:
+            ids = tokenizer(text)["input_ids"]
+            rid = batcher.submit(ids, max_new_tokens=args.max_new_tokens)
+            rid_to_prompt[rid] = text
+
+        t0 = time.time()
+        results = batcher.run()
+        dt = time.time() - t0
     n_tok = sum(len(v) for v in results.values())
     for rid in sorted(results):
         out = results[rid]

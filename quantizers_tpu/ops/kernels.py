@@ -679,9 +679,9 @@ def _dec_attn_kernel(len_ref, q_ref, nk_ref, nv_ref, kc_ref, vc_ref,
     CH = S // n_chunks
 
     def fetch(step, bank_i):
-        # strip DMA for batch row `step` into bank `bank_i` — issued one
-        # grid step AHEAD so the ~2.7 us fetch latency hides under the
-        # previous row's compute instead of serializing with it
+        # strip + RMW-window DMAs for batch row `step` into bank
+        # `bank_i` — issued one grid step AHEAD so their latency hides
+        # under the previous row's compute instead of serializing with it
         Ls = len_ref[step]
         nr = Ls // CH + 1
         for c in range(1, n_chunks + 1):
@@ -693,6 +693,11 @@ def _dec_attn_kernel(len_ref, q_ref, nk_ref, nv_ref, kc_ref, vc_ref,
                 pltpu.make_async_copy(vc_ref.at[step, :, pl.ds(0, c * CH)],
                                       vbuf.at[bank_i, :, pl.ds(0, c * CH)],
                                       sv.at[bank_i]).start()
+        As = pl.multiple_of((Ls // 8) * 8, 8)
+        pltpu.make_async_copy(ko_ref.at[step, :, pl.ds(As, 8)],
+                              k8.at[bank_i], swk.at[bank_i]).start()
+        pltpu.make_async_copy(vo_ref.at[step, :, pl.ds(As, 8)],
+                              v8.at[bank_i], swv.at[bank_i]).start()
 
     @pl.when(b == 0)
     def _first():
@@ -706,21 +711,20 @@ def _dec_attn_kernel(len_ref, q_ref, nk_ref, nv_ref, kc_ref, vc_ref,
     def _prefetch():
         fetch(b + 1, jax.lax.rem(b + 1, 2))
 
-    rk = pltpu.make_async_copy(ko_ref.at[b, :, pl.ds(A, 8)], k8, swk)
-    rv = pltpu.make_async_copy(vo_ref.at[b, :, pl.ds(A, 8)], v8, swv)
-    rk.start()
-    rv.start()
-
     new_k = nk_ref[0]  # (KV, 1, dk)
     new_v = nv_ref[0]  # (KV, 1, dv)
 
-    rk.wait()
-    rv.wait()
+    pltpu.make_async_copy(ko_ref.at[b, :, pl.ds(A, 8)],
+                          k8.at[bank], swk.at[bank]).wait()
+    pltpu.make_async_copy(vo_ref.at[b, :, pl.ds(A, 8)],
+                          v8.at[bank], swv.at[bank]).wait()
     sub = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
-    k8[:] = jnp.where(sub == L - A, new_k, k8[:])
-    v8[:] = jnp.where(sub == L - A, new_v, v8[:])
-    wk = pltpu.make_async_copy(k8, ko_ref.at[b, :, pl.ds(A, 8)], swk)
-    wv = pltpu.make_async_copy(v8, vo_ref.at[b, :, pl.ds(A, 8)], swv)
+    k8[bank] = jnp.where(sub == L - A, new_k, k8[bank])
+    v8[bank] = jnp.where(sub == L - A, new_v, v8[bank])
+    wk = pltpu.make_async_copy(k8.at[bank], ko_ref.at[b, :, pl.ds(A, 8)],
+                               swk.at[bank])
+    wv = pltpu.make_async_copy(v8.at[bank], vo_ref.at[b, :, pl.ds(A, 8)],
+                               swv.at[bank])
     wk.start()
     wv.start()
 
@@ -737,8 +741,8 @@ def _dec_attn_kernel(len_ref, q_ref, nk_ref, nv_ref, kc_ref, vc_ref,
     # resolve the fetch/write-back race on the A..A+8 window by storing
     # the merged window into the strips (an aligned 8-row VMEM store; the
     # full-S register-level `where` merge this replaces cost ~2 us/step)
-    kbuf[bank, :, pl.ds(A, 8)] = k8[:]
-    vbuf[bank, :, pl.ds(A, 8)] = v8[:]
+    kbuf[bank, :, pl.ds(A, 8)] = k8[bank]
+    vbuf[bank, :, pl.ds(A, 8)] = v8[bank]
     dk = kbuf.shape[-1]
     dv = vbuf.shape[-1]
     k_use = kbuf[bank].reshape(KV * S, dk)
@@ -797,12 +801,12 @@ def _decode_attention_call(q, new_k, new_v, cache_k, cache_v, lengths,
         scratch_shapes=[
             pltpu.VMEM((2, KV, S, dk), cache_k.dtype),
             pltpu.VMEM((2, KV, S, dv), cache_v.dtype),
-            pltpu.VMEM((KV, 8, dk), cache_k.dtype),
-            pltpu.VMEM((KV, 8, dv), cache_v.dtype),
+            pltpu.VMEM((2, KV, 8, dk), cache_k.dtype),
+            pltpu.VMEM((2, KV, 8, dv), cache_v.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     ctx, k_out, v_out = pl.pallas_call(

@@ -147,6 +147,19 @@ class TestServeCli:
         with pytest.raises(SystemExit):
             serve_main([str(tiny_model_dir)])
 
+    def test_serve_with_mesh(self, tiny_model_dir, capsys):
+        """--mesh shards weights over the 8 virtual CPU devices and the
+        batcher decodes under the mesh context."""
+        from quantizers_tpu.cli.serve import main as serve_main
+
+        rc = serve_main([str(tiny_model_dir), "--prompt", "sharded hello",
+                         "--max-new-tokens", "4", "--max-batch", "2",
+                         "--max-len", "64", "--platform", "",
+                         "--mesh", "dp=1,tp=2"])
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        assert len(out) == 1
+
 
 if __name__ == "__main__":
     import sys
