@@ -42,6 +42,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu) before backend init")
     p.add_argument("--no-moe-calibrate-all-experts", action="store_true")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the oneshot stage "
+                        "into this directory (view with TensorBoard / xprof)")
     return p.parse_args(argv)
 
 
@@ -136,9 +139,21 @@ def main(argv=None) -> int:
                     len(rows), len(batches), time.time() - t0)
 
     # ---- oneshot -----------------------------------------------------------
+    # SURVEY §5: the reference's only tracing is wall-clock spans around
+    # each stage; the TPU-native equivalent adds a jax.profiler capture of
+    # the calibrate/compress stage on request.
+    import contextlib
+
+    import jax
+
+    prof = (jax.profiler.trace(args.profile_dir) if args.profile_dir
+            else contextlib.nullcontext())
     t0 = time.time()
-    res = oneshot(spec, params, recipe, batches,
-                  moe_calibrate_all_experts=not args.no_moe_calibrate_all_experts)
+    with prof:
+        res = oneshot(spec, params, recipe, batches,
+                      moe_calibrate_all_experts=not args.no_moe_calibrate_all_experts)
+    if args.profile_dir:
+        logger.info("jax.profiler trace written to %s", args.profile_dir)
     logger.info("oneshot done in %.1fs (%d quantized modules)",
                 time.time() - t0, len(res.records))
 

@@ -47,8 +47,13 @@ calibration_set: {repo_root}/configs/calibration_sets/test-calibrate_quick.yaml
             "--config", str(run_cfg), "--output", str(out),
             "--cache-dir", str(tmp_path / "cache"),
             "--max-seq-length", "64",
+            "--profile-dir", str(tmp_path / "trace"),
         ])
         assert rc == 0
+        # jax.profiler capture of the oneshot stage (SURVEY §5 tracing)
+        assert list((tmp_path / "trace").rglob("*.pb")) or \
+            list((tmp_path / "trace").rglob("*.json*")) or \
+            any((tmp_path / "trace").iterdir())
         cfg = json.loads((out / "config.json").read_text())
         assert cfg["quantization_config"]["config_groups"]
         assert validate_main([str(out)]) == 0
