@@ -64,6 +64,12 @@ def body(x_ref, w_ref, s_ref, o_ref, acc, *, mode, bk, bn, n_k):
             part = jnp.dot(x[:, gi * G:(gi + 1) * G], w[gi * G:(gi + 1) * G, :],
                            preferred_element_type=jnp.float32)
             acc[:] += part * s[gi:gi + 1, :]
+    elif mode == "i44resh":
+        a_ref, b_ref = w_ref
+        w = a_ref[:].astype(jnp.bfloat16) + b_ref[:].astype(jnp.bfloat16)
+        sb = s.astype(jnp.bfloat16)
+        wd = (w.reshape(gcount, G, bn) * sb[:, None, :]).reshape(bk, bn)
+        acc[:] += jnp.dot(x, wd, preferred_element_type=jnp.float32)
     else:
         raise ValueError(mode)
 
@@ -78,7 +84,7 @@ def make_call(mode):
     n_k = K // bk
 
     def call(x2, w, s):
-        if mode == "i44dots":
+        if mode in ("i44dots", "i44resh"):
             a, b = w
             wspecs = [
                 pl.BlockSpec((bk, bn), lambda i, j, ki: (ki, j), memory_space=pltpu.VMEM),
@@ -91,7 +97,7 @@ def make_call(mode):
             ops = [w]
 
         def kern(x_ref, *rest):
-            if mode == "i44dots":
+            if mode in ("i44dots", "i44resh"):
                 a_ref, b_ref, s_ref, o_ref, acc = rest
                 body(x_ref, (a_ref, b_ref), s_ref, o_ref, acc,
                      mode=mode, bk=bk, bn=bn, n_k=n_k)
@@ -123,6 +129,15 @@ def make_call(mode):
 def run(x2, ws, ss, *, mode, reps):
     call = make_call(mode)
 
+    if mode in ("i44dots", "i44resh"):
+        # int4 arrays must be created IN-JIT (tunnel can't pass int4 args)
+        def split(w_i8):
+            a = jnp.clip(w_i8, -7, 7)
+            b = (w_i8 - a).astype(jnp.int4)
+            return a.astype(jnp.int4), b
+
+        ws = [split(w) for w in ws]
+
     def step(carry, _):
         x, acc = carry
         for w, s in zip(ws, ss):
@@ -137,7 +152,7 @@ def run(x2, ws, ss, *, mode, reps):
 
 
 def main():
-    modes = sys.argv[1:] or ["i8dots", "i8resh", "i44dots", "i8rbig"]
+    modes = sys.argv[1:] or ["i44dots", "i44resh", "i8rbig"]
     log(f"backend={jax.default_backend()} NREP={NREP}")
     key = jax.random.PRNGKey(0)
     v2 = jnp.asarray([0, 1, 2, 3, 4, 6, 8, 12, 0, -1, -2, -3, -4, -6, -8, -12],
@@ -151,12 +166,7 @@ def main():
 
     for mode in modes:
         try:
-            if mode == "i44dots":
-                a = jnp.clip(w_i8, -7, 7).astype(jnp.int4)
-                b = (w_i8 - jnp.clip(w_i8, -7, 7).astype(jnp.int8)).astype(jnp.int4)
-                ws = [(a[i], b[i]) for i in range(NREP)]
-            else:
-                ws = [w_i8[i] for i in range(NREP)]
+            ws = [w_i8[i] for i in range(NREP)]
             ss = [scale[i] for i in range(NREP)]
             times = {}
             for reps in (R1, R2):

@@ -1213,7 +1213,7 @@ def moe_slot_ffn(x, idx, gate_el, up_el, down_el,
                 and (nf == 1 or dn_srows % 8 == 0))
 
     nf = 1
-    while slot_bytes(nf) > 4_500_000 and nf_ok(nf * 2):
+    while slot_bytes(nf) > 5_600_000 and nf_ok(nf * 2):
         nf *= 2
 
     idx = idx.astype(jnp.int32)
