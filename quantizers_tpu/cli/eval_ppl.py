@@ -73,6 +73,10 @@ def main(argv=None) -> int:
             break
         ctx = 0 if start == 0 else max(0, min(args.window - args.stride, len(w) - 1))
         windows.append((w, ctx))
+        if start + args.window >= len(ids):
+            # this window reached the corpus end; further strided windows
+            # would only re-score already-counted tail tokens
+            break
         if args.max_windows and len(windows) >= args.max_windows:
             break
 

@@ -63,20 +63,21 @@ def load_tokenizer(model_dir: str):
     from pathlib import Path
 
     p = Path(model_dir)
-    if (p / "tekken.json").exists():
-        # Mistral tekken models ship tekken.json instead of HF tokenizer
-        # files (reference: mistral-common integration in
-        # scripts/old_scripts/main_devstral-gptq.py:145-148)
-        from .tekken import TekkenTokenizer
-
-        return TekkenTokenizer(p / "tekken.json")
     has_tok = any((p / f).exists() for f in
                   ("tokenizer.json", "tokenizer.model", "tokenizer_config.json"))
     if has_tok:
+        # an exact HF tokenizer beats the first-party tekken approximation
+        # when a directory ships both (common for Mistral HF mirrors)
         try:
             from transformers import AutoTokenizer
 
             return AutoTokenizer.from_pretrained(str(p), trust_remote_code=True)
         except Exception:  # pragma: no cover - transformers quirks
             pass
+    if (p / "tekken.json").exists():
+        # tekken-only Mistral models (reference: mistral-common integration
+        # in scripts/old_scripts/main_devstral-gptq.py:145-148)
+        from .tekken import TekkenTokenizer
+
+        return TekkenTokenizer(p / "tekken.json")
     return ByteTokenizer()

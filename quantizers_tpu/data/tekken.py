@@ -16,8 +16,15 @@ from __future__ import annotations
 
 import base64
 import json
+import re
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Union
+
+# GPT-style pre-tokenization: greedy BPE is O(n^2) in piece length, so
+# text is split into word-sized pieces first (the real tekken does the
+# same with a near-identical pattern)
+_PRETOK = re.compile(
+    r"[^\r\n\w]?\w+|\d{1,3}| ?[^\s\w]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+")
 
 
 class TekkenTokenizer:
@@ -75,7 +82,8 @@ class TekkenTokenizer:
 
     def encode(self, text: str, add_bos: bool = False) -> List[int]:
         ids = [self.bos_id] if add_bos else []
-        ids.extend(self._bpe(text.encode("utf-8")))
+        for piece in _PRETOK.findall(text):
+            ids.extend(self._bpe(piece.encode("utf-8")))
         return ids
 
     def decode(self, ids: Sequence[int]) -> str:
@@ -91,8 +99,21 @@ class TekkenTokenizer:
 
     # -- HF-compatible surface used by CalibrationSet ----------------------
     def apply_chat_template(self, messages, tokenize: bool = False,
-                            add_generation_prompt: bool = False) -> str:
-        parts = []
+                            add_generation_prompt: bool = False):
+        """``[INST] ... [/INST]`` template. With ``tokenize=True`` the
+        instruction markers and turn terminators are emitted as their
+        *reserved special-token ids* (tekken reserves the first
+        ``num_special`` ranks for them) — byte-BPE-ing the marker text
+        would tokenize every sequence off-distribution and eos would
+        never equal ``eos_id``."""
+        # (marker text, fallback when the id table lacks it)
+        inst = self.special_tokens.get("[INST]")
+        inst_end = self.special_tokens.get("[/INST]")
+        segs: List = []  # str (text to BPE) or int (special id)
+
+        def mark(tok_id, literal):
+            segs.append(tok_id if tok_id is not None else literal)
+
         sys_txt = ""
         for m in messages:
             role, content = m.get("role"), m.get("content", "")
@@ -101,13 +122,34 @@ class TekkenTokenizer:
             elif role == "user":
                 body = f"{sys_txt}\n\n{content}" if sys_txt else content
                 sys_txt = ""
-                parts.append(f"[INST] {body} [/INST]")
+                mark(inst, "[INST]")
+                segs.append(f" {body} ")
+                mark(inst_end, "[/INST]")
             elif role == "assistant":
-                parts.append(f"{content}</s>")
-        text = "".join(parts)
-        if tokenize:
-            return self.encode(text, add_bos=True)
-        return text
+                segs.append(content)
+                mark(self.eos_id, "</s>")
+        if not tokenize:
+            out = []
+            for s in segs:
+                if isinstance(s, int):
+                    inv = {v: k for k, v in self.special_tokens.items()}
+                    out.append(inv.get(s, "</s>" if s == self.eos_id else ""))
+                else:
+                    out.append(s)
+            return "".join(out)
+        ids = [self.bos_id]
+        for s in segs:
+            if isinstance(s, int):
+                ids.append(s)
+            else:
+                ids.extend(self._bpe_text(s))
+        return ids
+
+    def _bpe_text(self, text: str) -> List[int]:
+        out: List[int] = []
+        for piece in _PRETOK.findall(text):
+            out.extend(self._bpe(piece.encode("utf-8")))
+        return out
 
     def __call__(self, text: str, max_length: Optional[int] = None,
                  truncation: bool = False, padding: bool = False,

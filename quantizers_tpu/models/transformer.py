@@ -319,8 +319,12 @@ def mla_attention(layer: Dict[str, Any], spec: ModelSpec, x: jax.Array,
         k = jnp.concatenate(
             [k_nope, jnp.broadcast_to(k_pe, (B, T, H, dr))], axis=-1)
         if capture is not None:
-            capture["k_cache"] = k
-            capture["v_cache"] = v
+            # FP8 KV-cache scale calibration must see what the serving
+            # cache actually stores: for MLA that is the latent (c_kv)
+            # and the shared post-rope k_pe row — NOT the expanded heads
+            # (kv_cache_dims documents the latent layout)
+            capture["k_cache"] = c_kv
+            capture["v_cache"] = k_pe
         k_att, v_att, mask, _ = _cache_and_mask(None, k, v, positions, x.dtype)
         scores = jnp.einsum("bthd,bhsd->bhts", q_full, k_att,
                             preferred_element_type=jnp.float32)
@@ -376,6 +380,26 @@ def mla_attention(layer: Dict[str, Any], spec: ModelSpec, x: jax.Array,
     ctx_lat = jnp.einsum("bhts,bsr->bthr", probs, c_read)
     ctx = jnp.einsum("bthr,hrv->bthv", ctx_lat, w_uv).reshape(B, T, H * dv)
     return layer["o_proj"].apply(ctx), new_cache
+
+
+def mla_absorb_layout(spec: ModelSpec, params: Dict[str, Any]) -> Dict[str, Any]:
+    """Add the precomputed absorbed-decode weights (``mla_absorb``) to every
+    MLA layer that lacks them. Safe at jit entry points (one derivation per
+    compiled program, hoisted out of any inner scan) — without it the
+    decode scan would re-dequantize kv_b_proj every token. No-op for
+    non-MLA specs and already-prepared params."""
+    if not spec.is_mla:
+        return params
+    out = dict(params)
+    layers = []
+    for lyr in params["layers"]:
+        if "kv_b_proj" in lyr and "mla_absorb" not in lyr:
+            lyr = dict(lyr)
+            w_uk_t, w_uv = _mla_absorb_weights(lyr, spec, jnp.bfloat16)
+            lyr["mla_absorb"] = {"w_uk_t": w_uk_t, "w_uv": w_uv}
+        layers.append(lyr)
+    out["layers"] = layers
+    return out
 
 
 def _mla_absorb_weights(layer: Dict[str, Any], spec: ModelSpec, dtype
@@ -509,13 +533,7 @@ def fuse_for_decode(spec: ModelSpec, params: Dict[str, Any]) -> Dict[str, Any]:
         lyr = dict(layer)
         try:
             if spec.is_mla:
-                if "kv_b_proj" in lyr and "mla_absorb" not in lyr:
-                    # absorbed-decode weights, hoisted out of the decode
-                    # scan (inline derivation would re-dequantize per step)
-                    w_uk_t, w_uv = _mla_absorb_weights(
-                        {k: v for k, v in lyr.items() if k != "mla_absorb"},
-                        spec, jnp.bfloat16)
-                    lyr["mla_absorb"] = {"w_uk_t": w_uk_t, "w_uv": w_uv}
+                pass  # absorbed-decode weights added below via mla_absorb_layout
             elif "q_proj" in lyr:
                 lyr["qkv_proj"] = concat_linears(
                     [lyr["q_proj"], lyr["k_proj"], lyr["v_proj"]])
@@ -533,7 +551,7 @@ def fuse_for_decode(spec: ModelSpec, params: Dict[str, Any]) -> Dict[str, Any]:
                 pass
         layers.append(lyr)
     out["layers"] = layers
-    return out
+    return mla_absorb_layout(spec, out)
 
 
 # ---------------------------------------------------------------------------

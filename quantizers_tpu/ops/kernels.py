@@ -1207,10 +1207,25 @@ def moe_slot_ffn(x, idx, gate_el, up_el, down_el,
     def nf_ok(nf: int) -> bool:
         if Fe % nf:
             return False
+        if any(el.weight.dtype == jnp.uint8
+               for el in (gate_el, up_el, down_el)):
+            # split-half packed payloads cannot be Fe-row-sliced: a middle
+            # row range mixes the low/high nibble planes, so the sliced
+            # down block would pair scrambled weight rows with the wrong
+            # scales. Packed u8 must run whole-payload (nf == 1); if that
+            # exceeds the VMEM budget the caller falls back to XLA.
+            return False
         fe = Fe // nf
         dn_srows = fe // g
         return (fe % 128 == 0 and fe % g == 0
                 and (nf == 1 or dn_srows % 8 == 0))
+
+    if (slot_bytes(1) > 5_600_000
+            and any(el.weight.dtype == jnp.uint8
+                    for el in (gate_el, up_el, down_el))):
+        raise KernelUnsupported(
+            "packed-u8 expert payload too large for an unsliced slot step; "
+            "convert to the int4/int8 device layout (i4_device_layout)")
 
     nf = 1
     while slot_bytes(nf) > 5_600_000 and nf_ok(nf * 2):

@@ -44,7 +44,8 @@ def _unpack_nibbles(packed: jax.Array, signed_offset: int = 8) -> jax.Array:
 
 
 def w4_packed_to_int4(packed: jax.Array) -> jax.Array:
-    """Split-half packed uint8 (K//2, N) -> signed ``jnp.int4`` (K, N).
+    """Split-half packed uint8 (..., K//2, N) -> signed ``jnp.int4``
+    (..., K, N); leading batch/expert axes pass through.
 
     The native-int4 device layout for symmetric W4A16: the Pallas kernel
     then dequantizes with ONE hardware i4->bf16 cvt instead of the
@@ -60,7 +61,9 @@ def w4_packed_to_int4(packed: jax.Array) -> jax.Array:
     wide = packed.astype(jnp.int32)
     lo = (wide & 0x0F) - 8
     hi = (wide >> 4) - 8
-    return jnp.concatenate([lo, hi], axis=0).astype(jnp.int4)
+    # axis -2 is the packed-K axis for both the 2-D QuantLinear layout
+    # and the stacked (E, K//2, N) ExpertLinears layout
+    return jnp.concatenate([lo, hi], axis=-2).astype(jnp.int4)
 
 
 def nvfp4_packed_to_i8(packed: jax.Array) -> jax.Array:
@@ -106,11 +109,6 @@ def i4_device_layout(tree: Any) -> Any:
         if int(dict(x.meta)["k"]) != 2 * packed_rows:
             return x
         if x.kind == "w4":
-            if isinstance(x, ExpertLinears):
-                lo = (x.weight.astype(jnp.int32) & 0x0F) - 8
-                hi = (x.weight.astype(jnp.int32) >> 4) - 8
-                w = jnp.concatenate([lo, hi], axis=-2).astype(jnp.int4)
-                return dataclasses.replace(x, weight=w)
             return dataclasses.replace(x, weight=w4_packed_to_int4(x.weight))
         if x.kind == "nvfp4":
             # int8 stores 2x the E2M1 value; the halved scale keeps every

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.config import ModelSpec
-from ..models.transformer import KVCache, forward
+from ..models.transformer import KVCache, forward, mla_absorb_layout
 from ..ops.linear import i4_device_layout
 
 _PAD_MULT = 64
@@ -48,7 +48,7 @@ def _sample(logits: jnp.ndarray, key: Optional[jnp.ndarray],
 def prefill(params: Dict[str, Any], spec: ModelSpec, ids: jnp.ndarray,
             caches: List[KVCache]) -> Tuple[jnp.ndarray, List[KVCache]]:
     """Run the prompt; returns (last-position logits (B, V), caches)."""
-    params = i4_device_layout(params)
+    params = mla_absorb_layout(spec, i4_device_layout(params))
     logits, caches = forward(params, spec, ids, caches=caches)
     return logits[:, -1], caches
 
@@ -59,7 +59,9 @@ def _decode_scan(params: Dict[str, Any], spec: ModelSpec, caches: List[KVCache],
                  temperature: float, top_k: int
                  ) -> Tuple[jnp.ndarray, List[KVCache]]:
     """Emit ``steps`` tokens after ``first``; returns ((B, steps), caches)."""
-    params = i4_device_layout(params)  # once per scan, not per step
+    # once per scan, not per step: fast device layouts + MLA absorbed
+    # weights (inline derivation would re-dequantize kv_b every token)
+    params = mla_absorb_layout(spec, i4_device_layout(params))
 
     def step(carry, _):
         caches, tok, key = carry
@@ -108,7 +110,7 @@ def generate(
 @partial(jax.jit, static_argnames=("spec",))
 def _nll(params: Dict[str, Any], spec: ModelSpec, ids: jnp.ndarray,
          mask: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    params = i4_device_layout(params)
+    params = mla_absorb_layout(spec, i4_device_layout(params))
     logits, _ = forward(params, spec, ids)
     logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
     tgt = ids[:, 1:]

@@ -72,6 +72,13 @@ class ContinuousBatcher:
                  prefill_buckets: Sequence[int] = (32, 128, 512, 2048),
                  eos_ids: Sequence[int] = ()) -> None:
         self.spec = spec
+        from ..models.transformer import fuse_for_decode
+
+        # serving layout: fused qkv/gateup projections and (for MLA) the
+        # precomputed absorbed-decode weights — without this, _decode_step
+        # would re-derive mla_absorb (a full kv_b dequant + transpose per
+        # layer) inside the per-token jit
+        params = fuse_for_decode(spec, params)
         if jax.default_backend() == "tpu":
             # hold the fast signed-int4 w4 layout at rest: _decode_step is a
             # per-token jit, so in-jit conversion there would re-relayout

@@ -112,6 +112,7 @@ class ModelMerger:
 
             emitted: set = set()
             swapped_prefixes: set = set()
+            kept_primary_prefixes: set = set()
 
             def emit(name: str, arr_fn) -> None:
                 if name in emitted:
@@ -139,22 +140,28 @@ class ModelMerger:
                         self.stats.skipped_scale_inv += 1
                     continue
 
-                # 2. module swap-in from secondary (reference :269-274)
-                if prefix is not None and self.swap_re.match(prefix):
+                # 2. module swap-in from secondary (reference :269-274).
+                # A swap-rule prefix missing from the secondary keeps the
+                # primary's tensors — ALL of them, not just the first one
+                # encountered, so kept prefixes fall through to the
+                # passthrough branch on every tensor.
+                if (prefix is not None and self.swap_re.match(prefix)
+                        and prefix not in kept_primary_prefixes):
                     if prefix not in swapped_prefixes:
-                        swapped_prefixes.add(prefix)
                         sec_params = sec_prefix_params.get(prefix, [])
                         if sec_params:
+                            swapped_prefixes.add(prefix)
                             self.stats.swapped_modules += 1
                             for sk in sorted(sec_params):
                                 emit(sk, lambda n=sk: sec.get(n))
                                 self.stats.swapped_tensors += 1
-                        else:
-                            logger.warning("swap target %s missing in secondary; "
-                                           "keeping primary", prefix)
-                            emit(name, lambda n=name: prim.get(n))
-                            self.stats.copied += 1
-                    continue
+                            continue
+                        logger.warning("swap target %s missing in secondary; "
+                                       "keeping primary", prefix)
+                        kept_primary_prefixes.add(prefix)
+                        # fall through to passthrough for this tensor
+                    else:
+                        continue
 
                 # 3. prefer secondary's (smoothed) tensor (reference :275-282)
                 if self.prefer_re.match(name) and name in sec_keys:

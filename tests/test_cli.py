@@ -103,6 +103,51 @@ class TestModelFreeAndRecombine:
             qt2, args2 = r.load_quantized("model.layers.0.self_attn.q_proj")
             assert args2.num_bits == 8
 
+    def test_recombine_missing_swap_target_keeps_all_tensors(
+            self, tiny_model_dir, tmp_path):
+        """A swap-rule prefix absent from the secondary must keep EVERY
+        primary tensor of that module, not just the first by sort order
+        (the merged checkpoint is corrupt otherwise)."""
+        fp8 = tmp_path / "fp8c"
+        assert model_free_main([str(tiny_model_dir), str(fp8)]) == 0
+        w4 = tmp_path / "w4c"
+        assert model_free_main([str(tiny_model_dir), str(w4),
+                                "--scheme", "W4A16_G32"]) == 0
+
+        # build a secondary that LACKS the swap-pattern modules: rewrite
+        # the w4 output without its q_proj tensors
+        import json as js
+
+        from quantizers_tpu.formats.safetensors_io import (
+            ShardedReader,
+            ShardedWriter,
+        )
+
+        stripped = tmp_path / "w4_stripped"
+        stripped.mkdir()
+        for f in Path(w4).iterdir():
+            if f.suffix != ".safetensors" and f.name != "model.safetensors.index.json":
+                (stripped / f.name).write_bytes(f.read_bytes())
+        r = ShardedReader(w4)
+        keep = {n: r.get(n) for n in r.keys() if "q_proj" not in n}
+        wtr = ShardedWriter(stripped)
+        wtr.add_many(keep)
+        wtr.finalize(metadata={"format": "pt"})
+
+        hybrid = tmp_path / "hybridc"
+        rc = recombine_main([str(fp8), str(stripped), str(hybrid),
+                             "--swap-pattern", r".*self_attn\.q_proj$"])
+        assert rc == 0
+        # the kept-primary q_proj modules must retain their full tensor set
+        idx = js.loads((hybrid / "model.safetensors.index.json").read_text())
+        names = set(idx["weight_map"])
+        r2 = ShardedReader(fp8)
+        prim_q = [n for n in r2.keys()
+                  if "self_attn.q_proj" in n
+                  and not n.endswith("weight_scale_inv")]
+        for n in prim_q:
+            assert n in names, f"dropped primary tensor {n}"
+
     def test_recombine_dry_run_writes_nothing(self, tiny_model_dir, tmp_path):
         fp8 = tmp_path / "fp8b"
         assert model_free_main([str(tiny_model_dir), str(fp8)]) == 0

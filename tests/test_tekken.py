@@ -75,3 +75,37 @@ class TestTekken:
         tok = load_tokenizer(str(tmp_path))
         assert isinstance(tok, TekkenTokenizer)
         assert tok.decode(tok.encode("ok")) == "ok"
+
+    def test_chat_template_emits_special_ids(self, tmp_path):
+        """Tokenized templates must use reserved special ids for markers
+        and eos — byte-BPE-ing '[INST]'/'</s>' would be off-distribution."""
+        import base64 as b64
+        import json as js
+
+        _mk_tekken(tmp_path)
+        data = js.loads((tmp_path / "tekken.json").read_text())
+        data["special_tokens"] += [{"rank": 3, "token_str": "[INST]"},
+                                   {"rank": 4, "token_str": "[/INST]"}]
+        (tmp_path / "tekken.json").write_text(js.dumps(data))
+        tok = TekkenTokenizer(tmp_path / "tekken.json")
+        ids = tok.apply_chat_template(
+            [{"role": "user", "content": "hi"},
+             {"role": "assistant", "content": "yo"}], tokenize=True)
+        assert ids[0] == tok.bos_id
+        assert 3 in ids and 4 in ids          # marker special ids
+        assert ids[-1] == tok.eos_id          # terminator is eos, not bytes
+        assert all(i != ord("[") + tok.num_special for i in ids)
+
+    def test_long_text_encodes_fast(self, tmp_path):
+        """Pre-tokenization keeps BPE near-linear: a 40 KB document must
+        encode in well under a second (whole-string greedy BPE is O(n^2)
+        and takes minutes)."""
+        import time
+
+        _mk_tekken(tmp_path, merges=["th", "the", " the"])
+        tok = TekkenTokenizer(tmp_path / "tekken.json")
+        text = ("the quick brown fox jumps over the lazy dog " * 1000)
+        t0 = time.time()
+        ids = tok.encode(text)
+        assert time.time() - t0 < 2.0
+        assert tok.decode(ids) == text
