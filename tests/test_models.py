@@ -338,6 +338,28 @@ class TestLoaders:
         w.finalize()
         dump_json(spec.to_hf_config(), out / "config.json")
 
+    def test_mistral_llama_style_config(self):
+        """Mistral/Llama-family configs (the reference's Devstral target,
+        ``main_devstral-gptq.py``) map onto the generic dense decoder: no
+        qk-norm, no attention bias, GQA, untied embeddings."""
+        from quantizers_tpu.models import ModelSpec, forward, init_params
+
+        cfg = {
+            "model_type": "mistral", "vocab_size": 384, "hidden_size": 64,
+            "num_hidden_layers": 2, "num_attention_heads": 4,
+            "num_key_value_heads": 2, "intermediate_size": 128,
+            "rms_norm_eps": 1e-5, "rope_theta": 1e6,
+            "max_position_embeddings": 4096, "tie_word_embeddings": False,
+        }
+        spec = ModelSpec.from_hf_config(cfg)
+        assert not spec.qk_norm and not spec.attention_bias
+        assert not spec.is_moe and not spec.is_mla
+        assert spec.num_kv_heads == 2 and spec.head_dim == 16
+        params = init_params(spec, jax.random.PRNGKey(6))
+        logits, _ = forward(params, spec, jnp.array([[5, 6, 7]], jnp.int32))
+        assert logits.shape == (1, 3, 384)
+        assert jnp.isfinite(logits.astype(jnp.float32)).all()
+
     def test_hf_roundtrip(self, dense_model, tmp_path):
         spec, params = dense_model
         self._save_hf(spec, params, tmp_path)
