@@ -57,6 +57,13 @@ def body(x_ref, w_ref, s_ref, o_ref, acc, *, mode, bk, bn, n_k):
         wd = (w.reshape(gcount, G, bn) * s[:, None, :]).reshape(bk, bn)
         acc[:] += jnp.dot(x, wd.astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32)
+    elif mode == "i8direct":
+        # direct i8->bf16 cast (works on this Mosaic despite the old
+        # widen-first folklore) + bf16 scale chain
+        w = w_ref[:].astype(jnp.bfloat16)
+        sb = s.astype(jnp.bfloat16)
+        wd = (w.reshape(gcount, G, bn) * sb[:, None, :]).reshape(bk, bn)
+        acc[:] += jnp.dot(x, wd, preferred_element_type=jnp.float32)
     elif mode == "i44dots":
         a_ref, b_ref = w_ref
         w = a_ref[:].astype(jnp.bfloat16) + b_ref[:].astype(jnp.bfloat16)
@@ -79,7 +86,7 @@ def body(x_ref, w_ref, s_ref, o_ref, acc, *, mode, bk, bn, n_k):
 
 
 def make_call(mode):
-    bn = {"i8resh": 2432}.get(mode, N)
+    bn = {"i8resh": 2432}.get(mode, N)  # i8direct/i8rbig: full-row
     bk = 256
     n_k = K // bk
 

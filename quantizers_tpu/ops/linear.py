@@ -85,6 +85,28 @@ def nvfp4_packed_to_i8(packed: jax.Array) -> jax.Array:
     # full-row — 2.2x more effective per weight. benchmarks/kernel_lab7.py)
 
 
+_INT4_ARGS_OK: Optional[bool] = None
+
+
+def int4_jit_args_supported() -> bool:
+    """Can sub-byte (int4) device arrays be passed as jit ARGUMENTS?
+
+    True on directly-attached TPUs; False through the tunneled "axon"
+    transport, whose host<->device transfer path recurses on sub-byte
+    dtypes — and which reports ``jax.default_backend() == "tpu"`` just
+    like real hardware, so the only reliable test is to try it. Probed
+    once (a trivial 8x128 round trip) and cached."""
+    global _INT4_ARGS_OK
+    if _INT4_ARGS_OK is None:
+        try:
+            a = jax.jit(lambda: jnp.zeros((8, 128), jnp.int4))()
+            jax.jit(lambda x: x.astype(jnp.int8))(a).block_until_ready()
+            _INT4_ARGS_OK = True
+        except Exception:
+            _INT4_ARGS_OK = False
+    return _INT4_ARGS_OK
+
+
 def i4_device_layout(tree: Any) -> Any:
     """Swap quantized payloads in a params pytree for the fast TPU device
     layouts: symmetric w4 -> signed int4 (:func:`w4_packed_to_int4`),

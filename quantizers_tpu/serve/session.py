@@ -79,13 +79,14 @@ class ContinuousBatcher:
         # would re-derive mla_absorb (a full kv_b dequant + transpose per
         # layer) inside the per-token jit
         params = fuse_for_decode(spec, params)
-        if jax.default_backend() == "tpu":
-            # hold the fast signed-int4 w4 layout at rest: _decode_step is a
-            # per-token jit, so in-jit conversion there would re-relayout
-            # every token. The tunneled "axon" backend can't pass int4 jit
-            # args (memory: axon-tpu-quirks) and keeps the packed-u8 layout.
-            from ..ops.linear import i4_device_layout
+        from ..ops.linear import i4_device_layout, int4_jit_args_supported
 
+        if jax.default_backend() == "tpu" and int4_jit_args_supported():
+            # hold the fast signed-int4/int8 layouts at rest: _decode_step
+            # is a per-token jit, so in-jit conversion there would
+            # re-relayout every token. The tunneled transport (which also
+            # reports backend "tpu") can't pass sub-byte jit args — the
+            # capability probe keeps the packed-u8 layout there.
             params = jax.jit(i4_device_layout)(params)
         self.params = params
         self.max_batch = max_batch
