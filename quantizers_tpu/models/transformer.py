@@ -325,13 +325,37 @@ def mla_attention(layer: Dict[str, Any], spec: ModelSpec, x: jax.Array,
             # (kv_cache_dims documents the latent layout)
             capture["k_cache"] = c_kv
             capture["v_cache"] = k_pe
-        k_att, v_att, mask, _ = _cache_and_mask(None, k, v, positions, x.dtype)
-        scores = jnp.einsum("bthd,bhsd->bhts", q_full, k_att,
-                            preferred_element_type=jnp.float32)
-        scores = scores * (1.0 / np.sqrt(dq))
-        scores = jnp.where(mask[:, None, :, :], scores, -1e30)
-        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        ctx = jnp.einsum("bhts,bhsd->bthd", probs, v_att).reshape(B, T, H * dv)
+
+        ctx = None
+        if T > 1:
+            # blockwise flash for the calibration forward: 4k-8k windows
+            # would otherwise materialize (B, H, T, T) f32 scores (~17 GB
+            # at GLM-class geometry). The 192-wide qk head pads to a lane
+            # multiple with zeros (exact — padded channels contribute 0);
+            # v stays dv-wide.
+            from ..ops import flash as _flash
+            from ..ops.kernels import KernelUnsupported as _KU
+
+            dq_pad = -(-dq // 128) * 128
+            try:
+                qp = jnp.pad(jnp.swapaxes(q_full, 1, 2),
+                             ((0, 0), (0, 0), (0, 0), (0, dq_pad - dq)))
+                kp = jnp.pad(jnp.swapaxes(k, 1, 2),
+                             ((0, 0), (0, 0), (0, 0), (0, dq_pad - dq)))
+                vp = jnp.swapaxes(v, 1, 2)
+                ctx4 = _flash.flash_attention(qp, kp, vp, 1.0 / np.sqrt(dq))
+                ctx = jnp.swapaxes(ctx4, 1, 2).reshape(B, T, H * dv)
+            except _KU:
+                ctx = None
+        if ctx is None:
+            k_att, v_att, mask, _ = _cache_and_mask(None, k, v, positions, x.dtype)
+            scores = jnp.einsum("bthd,bhsd->bhts", q_full, k_att,
+                                preferred_element_type=jnp.float32)
+            scores = scores * (1.0 / np.sqrt(dq))
+            scores = jnp.where(mask[:, None, :, :], scores, -1e30)
+            probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+            ctx = jnp.einsum("bhts,bhsd->bthd", probs, v_att
+                             ).reshape(B, T, H * dv)
         if capture is not None:
             capture["o_proj"] = ctx
         return layer["o_proj"].apply(ctx), None

@@ -38,6 +38,8 @@ _NEG_INF = -1e30
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_sc, l_sc, acc_sc,
                   *, bq: int, bk: int, n_k: int, sm_scale: float,
                   causal: bool):
+    # note: o/acc are dv-wide (v head), which may differ from the q/k
+    # head dim (MLA pads qk to a lane multiple but keeps v at dv)
     qi = pl.program_id(2)
     ki = pl.program_id(3)
 
@@ -84,6 +86,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_sc, l_sc, acc_sc,
 def _flash_call(q, k, v, *, rep, sm_scale, causal, bq, bk, interpret):
     B, H, T, d = q.shape
     S = k.shape[2]
+    dv = v.shape[3]
     n_q = T // bq
     n_k = S // bk
     grid = (B, H, n_q, n_k)
@@ -98,17 +101,17 @@ def _flash_call(q, k, v, *, rep, sm_scale, causal, bq, bk, interpret):
             pl.BlockSpec((1, 1, bk, d),
                          lambda b, h, qi, ki, rep=rep: (b, h // rep, ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bk, d),
+            pl.BlockSpec((1, 1, bk, dv),
                          lambda b, h, qi, ki, rep=rep: (b, h // rep, ki, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, bq, d), lambda b, h, qi, ki: (b, h, qi, 0),
+        out_specs=pl.BlockSpec((1, 1, bq, dv), lambda b, h, qi, ki: (b, h, qi, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, T, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, T, dv), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
-            pltpu.VMEM((bq, d), jnp.float32),
+            pltpu.VMEM((bq, dv), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
@@ -124,9 +127,10 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     interpret: Optional[bool] = None) -> jax.Array:
     """Blockwise causal attention, head-major.
 
-    q (B, H, T, d); k/v (B, KV, S, d) with KV | H (GQA group folding via
-    the kv BlockSpec index map — no repeated-KV materialization).
-    Returns (B, H, T, d). Raises KernelUnsupported for shapes the TPU
+    q (B, H, T, d); k (B, KV, S, d); v (B, KV, S, dv) with KV | H (GQA
+    group folding via the kv BlockSpec index map — no repeated-KV
+    materialization); dv may differ from d (MLA's padded qk heads).
+    Returns (B, H, T, dv). Raises KernelUnsupported for shapes the TPU
     tiling can't take (caller falls back to the einsum path).
     """
     B, H, T, d = q.shape

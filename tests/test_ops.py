@@ -391,6 +391,24 @@ class TestFlashAttention:
         with pytest.raises(KernelUnsupported):
             flash_attention(q, kv, kv, 1.0, interpret=True)  # 64 % 128
 
+    def test_mla_forward_flash_path_matches(self):
+        """MLA no-cache forward on flash-eligible shapes (padded 128-lane
+        qk head, dv=128, 8|T) must match the einsum fallback."""
+        from quantizers_tpu.models import ModelSpec, forward, init_params
+
+        spec = ModelSpec.tiny(
+            mla=True, hidden_size=128, q_lora_rank=32, kv_lora_rank=64,
+            qk_nope_head_dim=64, qk_rope_head_dim=32, v_head_dim=128,
+            num_heads=2, num_kv_heads=2)
+        params = init_params(spec, jax.random.PRNGKey(5))
+        ids = jnp.asarray((np.arange(16)[None, :] * 13 + 1) % spec.vocab_size,
+                          jnp.int32)
+        full, _ = forward(params, spec, ids)          # T=16 -> flash
+        odd, _ = forward(params, spec, ids[:, :15])   # T=15 -> einsum
+        np.testing.assert_allclose(
+            np.asarray(full[:, :15], np.float32), np.asarray(odd, np.float32),
+            rtol=3e-2, atol=3e-2)
+
     def test_model_forward_flash_path_matches(self):
         """A no-cache forward on flash-eligible shapes (hd=128, 8|T) must
         match a flash-ineligible equivalent run (einsum fallback at odd
