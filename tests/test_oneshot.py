@@ -386,6 +386,53 @@ class TestKVCacheCalibration:
             v = res.extra_tensors[f"model.layers.{li}.self_attn.v_scale"]
             assert k[0] > 0 and v[0] > 0
 
+    def test_mla_kv_scales_describe_latent_cache(self):
+        """For MLA the serving cache stores (c_kv latent, post-rope k_pe)
+        rows — the emitted fp8 scales must be calibrated from THOSE
+        tensors, not from the expanded per-head K/V whose ranges differ.
+        k_pe values are bounded by the rope rotation of the raw kv_a
+        output, so its absmax differs from the expanded-V absmax; the
+        sanity check here is that scales exist and the k-side scale
+        corresponds to the latent's magnitude (latent dim >> rope dim)."""
+        import jax as _jax
+
+        from quantizers_tpu.models import ModelSpec, forward, init_params
+
+        spec = ModelSpec.tiny(mla=True)
+        params = init_params(spec, _jax.random.PRNGKey(9))
+        recipe = parse_recipe({"quant_stage": {"quant_modifiers": {
+            "QuantizationModifier": {
+                "config_groups": {"group_0": dict(W4G32)},
+                "ignore": ["lm_head", "re:.*kv_a_proj.*", "re:.*kv_b_proj.*",
+                           "re:.*q_a_proj.*", "re:.*q_b_proj.*"],
+                "kv_cache_scheme": {"num_bits": 8, "type": "float",
+                                    "strategy": "tensor", "symmetric": True},
+            }}}})
+        rng = np.random.default_rng(3)
+        rows = [list(rng.integers(1, spec.vocab_size, 12)) for _ in range(4)]
+        batches = make_batches(rows, max_seq_length=16, batch_size=2,
+                               pad_to_multiple=8)
+        res = oneshot(spec, params, recipe, batches)
+        assert res.kv_cache_scheme is not None
+        divisor = res.kv_cache_scheme.scale_divisor
+
+        # recompute the latent absmax directly from a capture-style forward
+        from quantizers_tpu.models.transformer import apply_layer, embed
+
+        ids, mask = batches[0]
+        h = embed(res.params, jnp.asarray(ids))
+        pos = jnp.broadcast_to(jnp.arange(h.shape[1])[None, :], h.shape[:2])
+        cap = {}
+        apply_layer(res.params["layers"][0], spec, 0, h, pos, None,
+                    capture=cap)
+        lat_max = float(jnp.max(jnp.abs(cap["k_cache"].astype(jnp.float32))))
+        k_scale = float(res.extra_tensors["model.layers.0.self_attn.k_scale"][0])
+        # emitted scale = max-over-batches(latent absmax)/divisor >= this
+        # single batch's latent absmax / divisor
+        assert k_scale >= lat_max / divisor * 0.999
+        # and the captured k-side tensor IS the latent (shape check)
+        assert cap["k_cache"].shape[-1] == spec.kv_lora_rank
+
 
 class TestHostOffload:
     """offload='host' streams one layer + one hidden batch through the
