@@ -36,6 +36,28 @@ from ..core.numerics import QuantizedTensor
 from ..core.scheme import QuantizationArgs, QuantStrategy, QuantType
 
 
+def _group_scaled(vals: jax.Array, scale: jax.Array,
+                  zero_point: Optional[jax.Array], k: int, n: int) -> jax.Array:
+    """Apply per-group scales (and optional zero points) to (k, n) values.
+
+    The effective rows-per-group come from the SCALE's row count, not the
+    nominal group_size: core.quantize pads the in-dim up to the group
+    size, so a K=64 weight quantized at group 128 has ONE group of 64
+    real rows (reference/llmcompressor semantics — group > in_features
+    degrades to per-channel). Reshaping by the nominal size instead was a
+    crash on such layers (caught by the GPTQ-g128 on-TPU smoke)."""
+    r = scale.shape[0]
+    g = -(-k // r)
+    pad = r * g - k
+    if pad:
+        vals = jnp.pad(vals, ((0, pad), (0, 0)))
+    vals = vals.reshape(r, g, n)
+    if zero_point is not None:
+        vals = vals - zero_point[:, None, :].astype(jnp.float32)
+    w = vals * scale[:, None, :].astype(jnp.float32)
+    return w.reshape(r * g, n)[:k]
+
+
 def _unpack_nibbles(packed: jax.Array, signed_offset: int = 8) -> jax.Array:
     """uint8 (K//2, N) split-half packed -> int8 (K, N)."""
     lo = (packed & 0x0F).astype(jnp.int8) - signed_offset
@@ -219,21 +241,14 @@ class QuantLinear:
                 vals = self.weight.astype(jnp.float32)[:k]
             else:
                 vals = _unpack_nibbles(self.weight).astype(jnp.float32)[:k]
-            g = int(md["group_size"])
-            vals = vals.reshape(-1, g, n)
-            if self.zero_point is not None:
-                vals = vals - self.zero_point[:, None, :].astype(jnp.float32)
-            w = vals * self.scale[:, None, :].astype(jnp.float32)
-            return w.reshape(k, n).astype(dtype)
+            return _group_scaled(vals, self.scale, self.zero_point, k, n
+                                 ).astype(dtype)
         if self.kind == "w8":
             vals = self.weight.astype(jnp.float32)
             g = md.get("group_size")
             if g:
-                vals = vals.reshape(-1, int(g), n)
-                if self.zero_point is not None:
-                    vals = vals - self.zero_point[:, None, :].astype(jnp.float32)
-                w = vals * self.scale[:, None, :].astype(jnp.float32)
-                return w.reshape(k, n).astype(dtype)
+                return _group_scaled(vals[:k], self.scale, self.zero_point,
+                                     k, n).astype(dtype)
             return (vals * self.scale.astype(jnp.float32)).astype(dtype)
         if self.kind == "fp8":
             vals = self.weight.astype(jnp.float32)
@@ -244,9 +259,7 @@ class QuantLinear:
                 up = jnp.repeat(jnp.repeat(self.scale.astype(jnp.float32), bk, axis=0), bn, axis=1)
                 w = vals * up[:k, :n]
             elif strategy == "group":
-                g = int(md["group_size"])
-                vals = vals.reshape(-1, g, n)
-                w = (vals * self.scale[:, None, :].astype(jnp.float32)).reshape(k, n)
+                w = _group_scaled(vals[:k], self.scale, None, k, n)
             else:  # channel / tensor
                 w = vals * self.scale.astype(jnp.float32)
             return w.astype(dtype)
@@ -256,10 +269,7 @@ class QuantLinear:
                 vals = self.weight.astype(jnp.float32)[:k]
             else:
                 vals = _unpack_fp4(self.weight)[:k]
-            g = int(md.get("group_size", 16))
-            vals = vals.reshape(-1, g, n)
-            w = vals * self.scale[:, None, :].astype(jnp.float32)
-            return w.reshape(k, n).astype(dtype)
+            return _group_scaled(vals, self.scale, None, k, n).astype(dtype)
         raise ValueError(f"unknown QuantLinear kind {self.kind}")
 
     # -- matmul ----------------------------------------------------------------

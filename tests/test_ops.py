@@ -171,6 +171,24 @@ class TestPallasInterpret:
             np.asarray(lin_i8.dequantize(jnp.float32)),
             np.asarray(lin.dequantize(jnp.float32)), rtol=1e-6, atol=1e-7)
 
+    def test_group_larger_than_in_features(self):
+        """group_size > K degrades to one group over all K rows
+        (llmcompressor semantics; core.quantize pads the in-dim). The
+        GPTQ-g128 recipe on a K=64 o_proj crashed dequantize before."""
+        args = QuantizationArgs(num_bits=4, type=QuantType.INT, symmetric=True,
+                                strategy=QuantStrategy.GROUP, group_size=128)
+        w = rand((32, 64), seed=41)  # K=64 < group 128
+        qt = quantize(w, args)
+        lin = from_quantized(qt, args)
+        deq = np.asarray(lin.dequantize(jnp.float32))
+        assert deq.shape == (64, 32)
+        # device scales are stored bf16 -> bf16-level tolerance
+        np.testing.assert_allclose(
+            deq.T, np.asarray(dequantize(qt, args)), rtol=1e-2, atol=1e-2)
+        x = rand((2, 64), seed=42)
+        y = np.asarray(lin.apply(x, use_kernel=False))
+        assert y.shape == (2, 32) and np.isfinite(y).all()
+
     def test_i4_device_layout_treemap(self):
         """i4_device_layout converts symmetric w4 leaves (and only those)
         inside jit; off-TPU (this CI) it must be an identity."""
