@@ -8,6 +8,12 @@ The TPU-native stack instead scales through ``jax.sharding``: a named
 XLA inserting the all-gather/psum collectives.
 """
 
+from .distributed import (  # noqa: F401
+    initialize,
+    make_pod_mesh,
+    parse_mesh_arg,
+)
+from .ring import ring_attention  # noqa: F401
 from .mesh import (  # noqa: F401
     make_mesh,
     shard_params,
