@@ -83,7 +83,7 @@ def main():
             best = float("inf")
             for s in range(steps):
                 t0 = time.time()
-                out = np.asarray(fwd(params, ids + s))
+                out = np.asarray(fwd(params, (ids + s * 97) % spec.vocab_size))
                 best = min(best, time.time() - t0)
             tok_s = B * T / best
             results[tag] = round(tok_s, 1)

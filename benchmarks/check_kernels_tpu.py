@@ -132,6 +132,7 @@ def main() -> int:
             mref[b, h] = p @ c_np[b, 0, :L + 1]
     check("mla_decode.ctx", mctx, mref)
     check("mla_decode.c_cache", c2, c_np, atol=0.02, rtol=0.02)
+    check("mla_decode.p_cache", p2, p_np, atol=0.02, rtol=0.02)
 
     # ---- MoE slot FFN (pipelined expert blocks, int8 layout) --------------
     E, D, Fe, Ss = 8, 256, 128, 16

@@ -144,6 +144,10 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
             f"flash: need bq|T ({bq},{T}), bk|S ({bk},{S}), 8|bq, 8|bk")
     if d % 128:
         raise KernelUnsupported(f"flash: head dim {d} needs 128|d")
+    if v.shape[3] % 128:
+        # an unaligned v head would fail in Mosaic with an error the
+        # callers' KernelUnsupported fallbacks cannot catch
+        raise KernelUnsupported(f"flash: v head dim {v.shape[3]} needs 128|dv")
     return _flash_call(
         q, k, v, rep=H // KV, sm_scale=float(sm_scale), causal=bool(causal),
         bq=bq, bk=bk,

@@ -37,18 +37,21 @@ from ..core.scheme import QuantizationArgs, QuantStrategy, QuantType
 
 
 def _group_scaled(vals: jax.Array, scale: jax.Array,
-                  zero_point: Optional[jax.Array], k: int, n: int) -> jax.Array:
+                  zero_point: Optional[jax.Array], g: int, k: int, n: int
+                  ) -> jax.Array:
     """Apply per-group scales (and optional zero points) to (k, n) values.
 
-    The effective rows-per-group come from the SCALE's row count, not the
-    nominal group_size: core.quantize pads the in-dim up to the group
-    size, so a K=64 weight quantized at group 128 has ONE group of 64
-    real rows (reference/llmcompressor semantics — group > in_features
-    degrades to per-channel). Reshaping by the nominal size instead was a
-    crash on such layers (caught by the GPTQ-g128 on-TPU smoke)."""
+    Groups are the NOMINAL ``g`` rows each; core.quantize pads the in-dim
+    up to a whole number of groups, so the last group may cover fewer
+    than ``g`` real rows (and a K < g weight has exactly one group —
+    reference/llmcompressor semantics). Padding the values to
+    ``scale_rows * g`` before the reshape handles both the K < g case
+    (which used to crash) and K % g != 0 tails (which a row-count-derived
+    group size would silently mis-band)."""
     r = scale.shape[0]
-    g = -(-k // r)
     pad = r * g - k
+    if pad < 0:
+        raise ValueError(f"scale rows {r} x group {g} < K {k}")
     if pad:
         vals = jnp.pad(vals, ((0, pad), (0, 0)))
     vals = vals.reshape(r, g, n)
@@ -100,11 +103,10 @@ def nvfp4_packed_to_i8(packed: jax.Array) -> jax.Array:
     codes = jnp.concatenate([wide & 0x0F, wide >> 4], axis=-2)
     return (2.0 * _fp4_values(codes)).astype(jnp.int8)
 
-
-    # (A native float4_e2m1fn layout was tried first — it compiles and is
-    # numerically exact, but v5e has no hardware fp4 unpack: Mosaic
-    # emulates the cvt at ~34 GB/s. int8 at 2x bytes streams at 713 GB/s
-    # full-row — 2.2x more effective per weight. benchmarks/kernel_lab7.py)
+# (A native float4_e2m1fn layout was tried first — it compiles and is
+# numerically exact, but v5e has no hardware fp4 unpack: Mosaic emulates
+# the cvt at ~34 GB/s. int8 at 2x bytes streams at 713 GB/s full-row —
+# 2.2x more effective per weight. benchmarks/kernel_lab7.py)
 
 
 _INT4_ARGS_OK: Optional[bool] = None
@@ -241,14 +243,15 @@ class QuantLinear:
                 vals = self.weight.astype(jnp.float32)[:k]
             else:
                 vals = _unpack_nibbles(self.weight).astype(jnp.float32)[:k]
-            return _group_scaled(vals, self.scale, self.zero_point, k, n
+            g = int(md["group_size"])
+            return _group_scaled(vals, self.scale, self.zero_point, g, k, n
                                  ).astype(dtype)
         if self.kind == "w8":
             vals = self.weight.astype(jnp.float32)
             g = md.get("group_size")
             if g:
                 return _group_scaled(vals[:k], self.scale, self.zero_point,
-                                     k, n).astype(dtype)
+                                     int(g), k, n).astype(dtype)
             return (vals * self.scale.astype(jnp.float32)).astype(dtype)
         if self.kind == "fp8":
             vals = self.weight.astype(jnp.float32)
@@ -259,7 +262,8 @@ class QuantLinear:
                 up = jnp.repeat(jnp.repeat(self.scale.astype(jnp.float32), bk, axis=0), bn, axis=1)
                 w = vals * up[:k, :n]
             elif strategy == "group":
-                w = _group_scaled(vals[:k], self.scale, None, k, n)
+                w = _group_scaled(vals[:k], self.scale, None,
+                                  int(md["group_size"]), k, n)
             else:  # channel / tensor
                 w = vals * self.scale.astype(jnp.float32)
             return w.astype(dtype)
@@ -269,7 +273,8 @@ class QuantLinear:
                 vals = self.weight.astype(jnp.float32)[:k]
             else:
                 vals = _unpack_fp4(self.weight)[:k]
-            return _group_scaled(vals, self.scale, None, k, n).astype(dtype)
+            g = int(md.get("group_size", 16))
+            return _group_scaled(vals, self.scale, None, g, k, n).astype(dtype)
         raise ValueError(f"unknown QuantLinear kind {self.kind}")
 
     # -- matmul ----------------------------------------------------------------

@@ -45,10 +45,13 @@ def ring_attention_local(q: jax.Array, k: jax.Array, v: jax.Array,
     rep = H // KV
     dv = v.shape[3]
 
-    qf = q.astype(jnp.float32)
-    m = jnp.full((B, H, Tl, 1), _NEG_INF, jnp.float32)
-    l = jnp.zeros((B, H, Tl, 1), jnp.float32)
-    acc = jnp.zeros((B, H, Tl, dv), jnp.float32)
+    # fold the GQA group axis into q instead of materializing repeated
+    # K/V blocks every hop (the codebase-wide rule: a jnp.repeat here
+    # would stream rep x the K/V bytes through each ring step)
+    qg = q.reshape(B, KV, rep, Tl, d).astype(jnp.float32)
+    m = jnp.full((B, KV, rep, Tl, 1), _NEG_INF, jnp.float32)
+    l = jnp.zeros((B, KV, rep, Tl, 1), jnp.float32)
+    acc = jnp.zeros((B, KV, rep, Tl, dv), jnp.float32)
 
     perm = [(j, (j + 1) % P_) for j in range(P_)]
     rows = jnp.arange(Tl)
@@ -56,9 +59,9 @@ def ring_attention_local(q: jax.Array, k: jax.Array, v: jax.Array,
     def fold(carry, i):
         k_blk, v_blk, m, l, acc = carry
         src = (me - i) % P_
-        kr = jnp.repeat(k_blk, rep, axis=1).astype(jnp.float32)
-        vr = jnp.repeat(v_blk, rep, axis=1).astype(jnp.float32)
-        s = jnp.einsum("bhtd,bhsd->bhts", qf, kr) * sm_scale
+        kf = k_blk.astype(jnp.float32)
+        vf = v_blk.astype(jnp.float32)
+        s = jnp.einsum("bgrtd,bgsd->bgrts", qg, kf) * sm_scale
         if causal:
             q_pos = me * Tl + rows[:, None]
             k_pos = src * Tl + rows[None, :]
@@ -67,7 +70,7 @@ def ring_attention_local(q: jax.Array, k: jax.Array, v: jax.Array,
         p = jnp.exp(s - m_new)
         corr = jnp.exp(m - m_new)
         l = l * corr + p.sum(axis=-1, keepdims=True)
-        acc = acc * corr + jnp.einsum("bhts,bhsd->bhtd", p, vr)
+        acc = acc * corr + jnp.einsum("bgrts,bgsd->bgrtd", p, vf)
         k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
         v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
         return (k_blk, v_blk, m_new, l, acc), None
@@ -75,7 +78,7 @@ def ring_attention_local(q: jax.Array, k: jax.Array, v: jax.Array,
     (k, v, m, l, acc), _ = jax.lax.scan(
         fold, (k, v, m, l, acc), jnp.arange(P_))
     out = acc / jnp.maximum(l, 1e-30)
-    return out.astype(q.dtype)
+    return out.reshape(B, H, Tl, dv).astype(q.dtype)
 
 
 def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array,
@@ -91,7 +94,8 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         raise ValueError(f"mesh has no axis {axis!r}")
     n = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
     if q.shape[2] % n:
-        raise ValueError(f"T={q.shape[2]} must divide cp={n}")
+        raise ValueError(
+            f"{axis} size {n} must divide the sequence length T={q.shape[2]}")
 
     spec = P(None, None, axis, None)
     fn = shard_map(

@@ -189,6 +189,20 @@ class TestPallasInterpret:
         y = np.asarray(lin.apply(x, use_kernel=False))
         assert y.shape == (2, 32) and np.isfinite(y).all()
 
+    def test_group_with_ragged_tail(self):
+        """K % g != 0 with K > g: scales must band by the NOMINAL group
+        size (a row-count-derived size silently mis-bands rows — the
+        reviewer's K=100/g=32 reproduction hit 2.39 max abs error)."""
+        args = QuantizationArgs(num_bits=4, type=QuantType.INT, symmetric=True,
+                                strategy=QuantStrategy.GROUP, group_size=32)
+        w = rand((16, 100), seed=43)
+        qt = quantize(w, args)
+        lin = from_quantized(qt, args)
+        deq = np.asarray(lin.dequantize(jnp.float32))
+        assert deq.shape == (100, 16)
+        np.testing.assert_allclose(
+            deq.T, np.asarray(dequantize(qt, args)), rtol=1e-2, atol=1e-2)
+
     def test_i4_device_layout_treemap(self):
         """i4_device_layout converts symmetric w4 leaves (and only those)
         inside jit; off-TPU (this CI) it must be an identity."""
