@@ -157,6 +157,13 @@ def i4_device_layout(tree: Any) -> Any:
         if x.kind == "w4":
             return dataclasses.replace(x, weight=w4_packed_to_int4(x.weight))
         if x.kind == "nvfp4":
+            import os
+
+            if os.environ.get("QTPU_KEEP_PACKED_NVFP4"):
+                # capacity escape hatch: the int8 layout doubles nvfp4
+                # payload bytes (a single-chip 30B-A3B doesn't fit 2x);
+                # packed u8 serves slower but at half the HBM
+                return x
             # int8 stores 2x the E2M1 value; the halved scale keeps every
             # consumer (dequantize, kernels, gather paths) layout-agnostic
             return dataclasses.replace(
