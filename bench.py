@@ -18,10 +18,23 @@ and it keeps the bench free of checkpoint downloads (zero-egress box).
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+METRIC = "decode_tokens_per_s_per_chip_qwen3_4b_w4a16"
+
+# Orchestrator policy: the tunneled axon TPU backend is known-flaky — init can
+# raise UNAVAILABLE transiently, and doomed remote compiles can HANG >10 min.
+# So the real bench runs in a worker subprocess with a hard timeout, and the
+# parent retries with backoff. On persistent failure it still prints ONE
+# parseable JSON line with an `error` field (never a bare traceback / rc=1).
+ATTEMPTS = 4
+ATTEMPT_TIMEOUT_S = int(os.environ.get("QTPU_BENCH_ATTEMPT_TIMEOUT", "1500"))
+BACKOFF_S = (15, 45, 90)
 
 
 def log(*a):
@@ -87,6 +100,12 @@ def weight_bytes(params) -> int:
 
 def main() -> None:
     import jax
+
+    if os.environ.get("QTPU_BENCH_FORCE_CPU") == "1":
+        # env JAX_PLATFORMS does not stick under the axon sitecustomize;
+        # only the config update before first backend use forces CPU.
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     backend = jax.default_backend()
@@ -181,5 +200,80 @@ def main() -> None:
     }))
 
 
+def _last_json_line(text: str):
+    """Return the last stdout line that parses as a JSON object, or None."""
+    for line in reversed(text.strip().splitlines()):
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            obj = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(obj, dict) and "metric" in obj:
+            return obj
+    return None
+
+
+def orchestrate() -> None:
+    """Run the bench in a worker subprocess with retries; always print JSON."""
+    errors: list[str] = []
+    for attempt in range(ATTEMPTS):
+        if attempt > 0:
+            pause = BACKOFF_S[min(attempt - 1, len(BACKOFF_S) - 1)]
+            log(f"[bench] attempt {attempt} failed; backing off {pause}s")
+            time.sleep(pause)
+        log(f"[bench] attempt {attempt + 1}/{ATTEMPTS} "
+            f"(timeout {ATTEMPT_TIMEOUT_S}s)")
+        env = dict(os.environ, QTPU_BENCH_WORKER="1")
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True,
+                timeout=ATTEMPT_TIMEOUT_S,
+            )
+        except subprocess.TimeoutExpired as e:
+            # TimeoutExpired already killed the exact child PID.
+            tail = ((e.stderr or b"").decode(errors="replace")
+                    if isinstance(e.stderr, bytes) else (e.stderr or ""))
+            errors.append(f"attempt {attempt + 1}: timeout after "
+                          f"{ATTEMPT_TIMEOUT_S}s; stderr tail: {tail[-400:]}")
+            continue
+        sys.stderr.write(proc.stderr[-4000:])
+        sys.stderr.flush()
+        parsed = _last_json_line(proc.stdout)
+        if proc.returncode == 0 and parsed is not None:
+            print(json.dumps(parsed))
+            return
+        errors.append(
+            f"attempt {attempt + 1}: rc={proc.returncode}; "
+            f"stderr tail: {proc.stderr[-400:]}")
+    # Persistent failure: prove code health on CPU, then emit a parseable
+    # record (exit 0) so the driver captures a structured infra-outage
+    # signal instead of a null parse.
+    cpu_ok = None
+    log("[bench] TPU attempts exhausted; running CPU fallback proof")
+    try:
+        env = dict(os.environ, QTPU_BENCH_WORKER="1", QTPU_BENCH_FORCE_CPU="1")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=600,
+        )
+        cpu_ok = _last_json_line(proc.stdout)
+    except Exception as e:  # noqa: BLE001 - last-resort reporting path
+        errors.append(f"cpu fallback: {e!r}")
+    print(json.dumps({
+        "metric": METRIC,
+        "value": None,
+        "unit": "tok/s/chip",
+        "vs_baseline": None,
+        "error": " || ".join(errors)[-2000:],
+        "cpu_fallback": cpu_ok,
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("QTPU_BENCH_WORKER") == "1":
+        main()
+    else:
+        orchestrate()
