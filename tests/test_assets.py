@@ -49,6 +49,29 @@ class TestCalibrationSetAssets:
         ):
             assert expected in names, f"missing calibration set {expected}"
 
+    def test_software_engineer_full_mix(self):
+        """Entry-count / category parity with the reference's flagship
+        production asset (33 distinct datasets across 15 domain categories;
+        reference configs/calibration_sets/calibrate_software_engineer.yaml)."""
+        cfg = CalibrationSetConfig.from_file(
+            str(CONFIGS / "calibration_sets" / "calibrate_software_engineer.yaml"))
+        assert len(cfg.datasets) >= 30, len(cfg.datasets)
+        assert len({e.dataset for e in cfg.datasets}) >= 30
+        total = sum(e.num_samples for e in cfg.datasets)
+        assert total == 590, total  # reference header: 590 samples
+        code_markers = ("code", "stack", "humaneval", "euler",
+                        "kubernetes", "Competitive-Programming")
+        code = sum(e.num_samples for e in cfg.datasets
+                   if any(m.lower() in str(e.dataset).lower()
+                          for m in code_markers))
+        assert code / total > 0.5, (code, total)  # code-dominated mix
+        # the per-row language-injection templates must survive the port
+        prefixes = [e.formatter_params.get("prefix", "")
+                    for e in cfg.datasets if e.formatter_params]
+        assert any("% 60" in p for p in prefixes)   # 60 programming languages
+        assert any("% 12" in p for p in prefixes)   # 12 spoken languages
+        assert cfg.max_seq_length == 8192 and cfg.seed == 42 and cfg.shuffle
+
     def test_toolace_runs_offline(self, tmp_path, monkeypatch):
         """The ToolACE set resolves against the local fixture end-to-end."""
         monkeypatch.chdir(REPO)
