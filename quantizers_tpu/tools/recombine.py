@@ -194,22 +194,35 @@ class ModelMerger:
         prim_q = (prim_cfg.get("quantization_config") or {})
         sec_q = (sec_cfg.get("quantization_config") or {})
 
+        # group bodies are carried over VERBATIM (no re-normalization) so the
+        # emitted config stays byte-identical to what the source checkpoints'
+        # producers wrote — the ecosystem contract pinned by
+        # tests/test_golden_config.py against the reference's literal output.
         groups: Dict[str, Any] = {}
-        for i, (src, q) in enumerate((("primary", prim_q), ("secondary", sec_q))):
-            for gname, body in (q.get("config_groups") or {}).items():
+        for q in (prim_q, sec_q):
+            for body in (q.get("config_groups") or {}).values():
                 groups[f"group_{len(groups)}"] = body
         ignore = list(dict.fromkeys(
             (prim_q.get("ignore") or []) + (sec_q.get("ignore") or [])))
 
+        from ..formats.compressed_tensors import COMPRESSION_VERSION
+
+        # full compressed-tensors schema, key order matching the reference's
+        # create_mixed_precision_config literal (:75-138)
         qcfg = {
-            "config_groups": groups,
-            "format": "mixed-precision",
-            "ignore": ignore,
             "quant_method": "compressed-tensors",
+            "format": "mixed-precision",
             "quantization_status": "compressed",
+            "config_groups": groups,
+            "ignore": ignore,
+            "kv_cache_scheme": (prim_q.get("kv_cache_scheme")
+                                or sec_q.get("kv_cache_scheme") or None),
+            "global_compression_ratio": None,
+            "sparsity_config": {},
+            "transform_config": {},
+            "version": (prim_q.get("version") or sec_q.get("version")
+                        or COMPRESSION_VERSION),
         }
-        if prim_q.get("kv_cache_scheme"):
-            qcfg["kv_cache_scheme"] = prim_q["kv_cache_scheme"]
         out_cfg = dict(prim_cfg)
         out_cfg["quantization_config"] = qcfg
         dump_json(out_cfg, self.output / "config.json")
