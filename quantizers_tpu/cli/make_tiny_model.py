@@ -21,6 +21,13 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", default="cpu",
                    help="jax platform for weight init (default cpu)")
+    p.add_argument("--fit-corpus", default=None,
+                   help="text file to fit the model on before saving "
+                        "(makes PPL deltas discriminative)")
+    p.add_argument("--fit-steps", type=int, default=300)
+    p.add_argument("--fit-lr", type=float, default=3e-3)
+    p.add_argument("--fit-seq", type=int, default=64)
+    p.add_argument("--fit-batch", type=int, default=8)
     args = p.parse_args(argv)
 
     import jax
@@ -34,8 +41,21 @@ def main(argv=None) -> int:
     spec = ModelSpec.tiny(moe=args.moe, hidden_size=args.hidden,
                           num_layers=args.layers, vocab_size=args.vocab)
     params = init_params(spec, jax.random.PRNGKey(args.seed))
+    fitted = ""
+    if args.fit_corpus:
+        import numpy as np
+
+        from ..data.simple_tokenizer import ByteTokenizer
+        from ..models.fit import fit_lm
+
+        text = open(args.fit_corpus).read()
+        ids = np.asarray(ByteTokenizer()(text)["input_ids"], np.int32)
+        params = fit_lm(spec, params, ids, steps=args.fit_steps,
+                        batch_size=args.fit_batch, seq_len=args.fit_seq,
+                        lr=args.fit_lr, seed=args.seed)
+        fitted = f"fitted ({args.fit_steps} steps) "
     save_hf_model(spec, params, args.out_dir)
-    print(f"wrote tiny {'MoE ' if args.moe else ''}model to {args.out_dir}")
+    print(f"wrote tiny {fitted}{'MoE ' if args.moe else ''}model to {args.out_dir}")
     return 0
 
 

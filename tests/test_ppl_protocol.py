@@ -1,0 +1,32 @@
+"""The pinned perplexity protocol must be DISCRIMINATIVE: on a fitted tiny
+model, quantization strictly raises on-train PPL and recipe ordering holds
+(AWQ damage <= RTN damage at equal bit-width). BASELINE.md quality row;
+round-2 verdict weakness #5."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+@pytest.mark.slow
+def test_protocol_positive_ordered_deltas():
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "benchmarks" / "ppl_protocol.py")],
+        capture_output=True, text=True, timeout=900,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+
+    assert result["delta_w4a16_rtn"] > 0, result
+    assert result["delta_w4a16_awq"] > 0, result
+    assert result["delta_nvfp4"] > 0, result
+    # activation-aware scale search must not do worse than plain RTN at the
+    # same bit-width (the reason AWQ exists)
+    assert result["w4a16_awq"] <= result["w4a16_rtn"], result
+    assert result["ordering_ok"] is True, result
