@@ -32,8 +32,11 @@ METRIC = "decode_tokens_per_s_per_chip_qwen3_4b_w4a16"
 # So the real bench runs in a worker subprocess with a hard timeout, and the
 # parent retries with backoff. On persistent failure it still prints ONE
 # parseable JSON line with an `error` field (never a bare traceback / rc=1).
-ATTEMPTS = 4
-ATTEMPT_TIMEOUT_S = int(os.environ.get("QTPU_BENCH_ATTEMPT_TIMEOUT", "1500"))
+ATTEMPTS = 3
+# first attempt gets the full compile budget; a hung tunnel rarely recovers,
+# so later attempts get shorter leashes (worst case ~50 min total)
+ATTEMPT_TIMEOUTS_S = tuple(int(s) for s in os.environ.get(
+    "QTPU_BENCH_ATTEMPT_TIMEOUTS", "1500,900,600").split(","))
 BACKOFF_S = (15, 45, 90)
 
 
@@ -223,21 +226,21 @@ def orchestrate() -> None:
             pause = BACKOFF_S[min(attempt - 1, len(BACKOFF_S) - 1)]
             log(f"[bench] attempt {attempt} failed; backing off {pause}s")
             time.sleep(pause)
-        log(f"[bench] attempt {attempt + 1}/{ATTEMPTS} "
-            f"(timeout {ATTEMPT_TIMEOUT_S}s)")
+        timeout_s = ATTEMPT_TIMEOUTS_S[min(attempt, len(ATTEMPT_TIMEOUTS_S) - 1)]
+        log(f"[bench] attempt {attempt + 1}/{ATTEMPTS} (timeout {timeout_s}s)")
         env = dict(os.environ, QTPU_BENCH_WORKER="1")
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True,
-                timeout=ATTEMPT_TIMEOUT_S,
+                timeout=timeout_s,
             )
         except subprocess.TimeoutExpired as e:
             # TimeoutExpired already killed the exact child PID.
             tail = ((e.stderr or b"").decode(errors="replace")
                     if isinstance(e.stderr, bytes) else (e.stderr or ""))
             errors.append(f"attempt {attempt + 1}: timeout after "
-                          f"{ATTEMPT_TIMEOUT_S}s; stderr tail: {tail[-400:]}")
+                          f"{timeout_s}s; stderr tail: {tail[-400:]}")
             continue
         sys.stderr.write(proc.stderr[-4000:])
         sys.stderr.flush()

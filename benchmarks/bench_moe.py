@@ -143,14 +143,29 @@ def main():
     kv_bytes = sum(c.k.size * c.k.dtype.itemsize * 2 for c in caches)
     head_bytes = params["embed"].size * 2
     per_step = attn_bytes + routed + kv_bytes + head_bytes
+    # layout-honest roofline: the serving layout streams int8 (2 bytes per
+    # E2M1 pair) because v5e has no hardware fp4 unpack — the int8 expert
+    # payload is 2x the 4-bit bytes. Both rooflines are reported: `roofline`
+    # (ideal 4-bit bytes, the BASELINE.md north-star denominator) and
+    # `roofline_int8_layout` (what the chosen layout can physically reach).
+    expert_bytes_i8 = 3 * (D * Fe + (D // 16) * Fe * 2)
+    routed_i8 = spec.num_layers * min(B * k, E) * expert_bytes_i8
+    per_step_i8 = attn_bytes + routed_i8 + kv_bytes + head_bytes
     bw = HBM_GBPS.get(jax.devices()[0].device_kind, 819.0) * 1e9
     roofline = B * bw / per_step
-    log(f"gathered roofline {roofline:.0f} tok/s ({per_step/1e9:.2f} GB/step)")
+    roofline_i8 = B * bw / per_step_i8
+    log(f"gathered roofline {roofline:.0f} tok/s ({per_step/1e9:.2f} GB/step); "
+        f"int8-layout roofline {roofline_i8:.0f} tok/s "
+        f"({per_step_i8/1e9:.2f} GB/step)")
     print(json.dumps({
         "metric": f"decode_tokens_per_s_per_chip_moe{spec.num_layers}L_nvfp4",
         "value": round(tok_s, 1),
         "unit": "tok/s/chip",
         "vs_baseline": round(tok_s / (0.9 * roofline), 3) if on_tpu else 0,
+        "roofline_4bit": round(roofline, 1),
+        "roofline_int8_layout": round(roofline_i8, 1),
+        "vs_int8_layout_roofline": (round(tok_s / (0.9 * roofline_i8), 3)
+                                    if on_tpu else 0),
     }))
 
 

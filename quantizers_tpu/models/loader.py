@@ -253,3 +253,68 @@ def model_plain_tensors(spec: ModelSpec, params: Dict[str, Any]) -> Dict[str, np
             out[f"{p}.mlp.gate.e_score_correction_bias"] = np.asarray(
                 layer["moe"]["e_score_correction_bias"], np.float32)
     return out
+
+
+def abstract_quantized_tree(spec: ModelSpec, attn_group: int = 32,
+                            expert_group: int = 16,
+                            scale_dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """ShapeDtypeStruct pytree of a quantized serving model — W4A16
+    attention/dense-MLP + NVFP4 expert stacks — with ZERO allocation.
+
+    Feed it to :func:`quantizers_tpu.ops.linear.nvfp4_capacity_plan` to
+    plan real configs (e.g. Qwen3-30B-A3B NVFP4 against one v5e chip)
+    before loading anything. Dense-model layers get w4 QuantLinears; MoE
+    layers get nvfp4 ExpertLinears, matching the serving layouts the
+    checkpoint loader produces."""
+    import jax
+
+    from ..models.moe import ExpertLinears
+
+    def sds(shape, dtype):
+        return jax.ShapeDtypeStruct(shape, jnp.dtype(dtype))
+
+    def w4(k: int, n: int) -> QuantLinear:
+        return QuantLinear(
+            kind="w4", weight=sds((k // 2, n), jnp.uint8),
+            scale=sds((max(k // attn_group, 1), n), scale_dtype),
+            meta=(("k", k), ("n", n), ("group_size", attn_group)))
+
+    def nv_experts(e: int, k: int, n: int) -> ExpertLinears:
+        return ExpertLinears(
+            kind="nvfp4", weight=sds((e, k // 2, n), jnp.uint8),
+            scale=sds((e, max(k // expert_group, 1), n), scale_dtype),
+            meta=(("k", k), ("n", n), ("group_size", expert_group)))
+
+    D, Ff = spec.hidden_size, spec.intermediate_size
+    layers: List[Dict[str, Any]] = []
+    for i in range(spec.num_layers):
+        layer: Dict[str, Any] = {
+            "input_layernorm": sds((D,), jnp.bfloat16),
+            "post_attention_layernorm": sds((D,), jnp.bfloat16),
+            "q_proj": w4(D, spec.q_dim), "k_proj": w4(D, spec.kv_dim),
+            "v_proj": w4(D, spec.kv_dim), "o_proj": w4(spec.q_dim, D),
+        }
+        if spec.qk_norm:
+            layer["q_norm"] = sds((spec.head_dim,), jnp.bfloat16)
+            layer["k_norm"] = sds((spec.head_dim,), jnp.bfloat16)
+        if spec.layer_is_moe(i):
+            E, Fe = spec.num_experts, spec.moe_intermediate_size
+            layer["moe"] = {
+                "router": QuantLinear(kind="dense",
+                                      weight=sds((D, E), jnp.float32),
+                                      meta=(("k", D), ("n", E))),
+                "gate_proj": nv_experts(E, D, Fe),
+                "up_proj": nv_experts(E, D, Fe),
+                "down_proj": nv_experts(E, Fe, D),
+            }
+        else:
+            layer["mlp"] = {"gate_proj": w4(D, Ff), "up_proj": w4(D, Ff),
+                            "down_proj": w4(Ff, D)}
+        layers.append(layer)
+    return {
+        "embed": sds((spec.vocab_size, D), jnp.bfloat16),
+        "layers": layers,
+        "final_norm": sds((D,), jnp.bfloat16),
+        "lm_head": (None if spec.tie_word_embeddings
+                    else w4(D, spec.vocab_size)),
+    }

@@ -131,13 +131,126 @@ def int4_jit_args_supported() -> bool:
     return _INT4_ARGS_OK
 
 
-def i4_device_layout(tree: Any) -> Any:
+#: per-chip HBM by device kind (bytes); fallback when memory_stats() is
+#: unavailable (e.g. through the tunneled transport)
+HBM_BYTES_BY_KIND = {
+    "TPU v5 lite": 16_000_000_000, "TPU v5e": 16_000_000_000,
+    "TPU v4": 32_000_000_000, "TPU v5p": 95_000_000_000,
+    "TPU v6 lite": 32_000_000_000,
+}
+
+
+def device_hbm_bytes() -> int:
+    """Usable HBM of one local device, from runtime stats when available."""
+    try:
+        dev = jax.devices()[0]
+        stats = dev.memory_stats()
+        if stats and stats.get("bytes_limit"):
+            return int(stats["bytes_limit"])
+    except Exception:
+        pass
+    kind = getattr(jax.devices()[0], "device_kind", "")
+    return HBM_BYTES_BY_KIND.get(kind, 16_000_000_000)
+
+
+def _is_expert_stack(x: Any) -> bool:
+    return hasattr(x, "num_experts")
+
+
+def infer_expert_shards(tree: Any) -> int:
+    """How many ways MoE expert stacks are sharded (1 if unsharded).
+
+    Reads the concrete NamedSharding of the first ExpertLinears payload —
+    call on real (pre-jit) arrays; tracers return 1."""
+    shards = 1
+    for leaf in jax.tree_util.tree_leaves(
+            tree, is_leaf=lambda x: isinstance(x, QuantLinear) or _is_expert_stack(x)):
+        if not _is_expert_stack(leaf):
+            continue
+        try:
+            spec = leaf.weight.sharding.spec  # NamedSharding only
+            mesh = leaf.weight.sharding.mesh
+            axis = spec[0]  # experts axis
+            if axis is None:
+                return 1
+            names = axis if isinstance(axis, tuple) else (axis,)
+            for n in names:
+                shards *= dict(zip(mesh.axis_names, mesh.devices.shape))[n]
+            return shards
+        except Exception:
+            return 1
+    return shards
+
+
+def nvfp4_capacity_plan(tree: Any, hbm_bytes: Optional[int] = None,
+                        headroom: float = 0.25,
+                        expert_shards: int = 1) -> Dict[str, Any]:
+    """Decide the nvfp4 device layout by capacity, not by env var.
+
+    The int8-doubled layout streams at full HBM speed (the E2M1 decode
+    chain costs ~14 VPU ops/value; v5e has no hardware fp4 unpack) but
+    doubles the at-rest payload — a single-chip 30B-A3B does not fit 2×.
+    This computes per-chip resident bytes for both layouts (pure shape
+    math, safe at trace time) and approves int8 only when it fits within
+    ``(1 - headroom) × HBM`` — headroom left for KV cache, activations,
+    and XLA scratch. Expert stacks divide by ``expert_shards`` (their EP
+    sharding); everything else is counted replicated (conservative).
+    """
+    if hbm_bytes is None:
+        hbm_bytes = device_hbm_bytes()
+    packed_total = 0
+    int8_extra = 0
+    for leaf in jax.tree_util.tree_leaves(
+            tree, is_leaf=lambda x: isinstance(x, QuantLinear) or _is_expert_stack(x)):
+        if isinstance(leaf, QuantLinear) or _is_expert_stack(leaf):
+            arrays = [a for a in (leaf.weight, leaf.scale, leaf.zero_point,
+                                  getattr(leaf, "bias", None)) if a is not None]
+            nb = sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in arrays)
+            div = expert_shards if _is_expert_stack(leaf) else 1
+            packed_total += nb // div
+            if (leaf.kind == "nvfp4" and leaf.weight.dtype == jnp.uint8):
+                w_nb = int(np.prod(leaf.weight.shape)) * 1
+                int8_extra += w_nb // div  # int8 layout stores 2 bytes/pair extra
+        elif hasattr(leaf, "shape") and hasattr(leaf, "dtype"):
+            packed_total += int(np.prod(leaf.shape)) * leaf.dtype.itemsize
+    budget = int((1.0 - headroom) * hbm_bytes)
+    int8_total = packed_total + int8_extra
+    return {
+        "hbm_bytes": int(hbm_bytes),
+        "budget_bytes": budget,
+        "packed_bytes": int(packed_total),
+        "int8_bytes": int(int8_total),
+        "expert_shards": int(expert_shards),
+        "int8_ok": int8_total <= budget,
+    }
+
+
+def _nvfp4_layout_decision(tree: Any, nvfp4_int8: Optional[bool],
+                           expert_shards: int) -> bool:
+    import os
+
+    env = os.environ.get("QTPU_NVFP4_LAYOUT")
+    if env in ("packed", "int8"):  # explicit operator override
+        return env == "int8"
+    if os.environ.get("QTPU_KEEP_PACKED_NVFP4"):  # legacy escape hatch
+        return False
+    if nvfp4_int8 is not None:
+        return nvfp4_int8
+    return nvfp4_capacity_plan(tree, expert_shards=expert_shards)["int8_ok"]
+
+
+def i4_device_layout(tree: Any, nvfp4_int8: Optional[bool] = None,
+                     expert_shards: int = 1) -> Any:
     """Swap quantized payloads in a params pytree for the fast TPU device
     layouts: symmetric w4 -> signed int4 (:func:`w4_packed_to_int4`),
     nvfp4 -> int8-doubled (:func:`nvfp4_packed_to_i8`) — for both
     plain :class:`QuantLinear` s and stacked MoE ``ExpertLinears``.
     No-op off TPU, for asymmetric layouts, and for already-converted
-    leaves — safe to call unconditionally at every jit entry point."""
+    leaves — safe to call unconditionally at every jit entry point.
+
+    The nvfp4 int8-vs-packed choice is capacity-aware by default
+    (:func:`nvfp4_capacity_plan`); pass ``nvfp4_int8`` to pin it (the
+    serving session computes the plan once against its mesh and pins)."""
     from .dispatch import _on_tpu
 
     if not _on_tpu():
@@ -145,7 +258,10 @@ def i4_device_layout(tree: Any) -> Any:
 
     from ..models.moe import ExpertLinears
 
+    decide_int8: Optional[bool] = None  # lazy: only if an nvfp4 leaf exists
+
     def conv(x):
+        nonlocal decide_int8
         if not isinstance(x, (QuantLinear, ExpertLinears)):
             return x
         if x.zero_point is not None or x.weight.dtype != jnp.uint8:
@@ -157,12 +273,12 @@ def i4_device_layout(tree: Any) -> Any:
         if x.kind == "w4":
             return dataclasses.replace(x, weight=w4_packed_to_int4(x.weight))
         if x.kind == "nvfp4":
-            import os
-
-            if os.environ.get("QTPU_KEEP_PACKED_NVFP4"):
-                # capacity escape hatch: the int8 layout doubles nvfp4
-                # payload bytes (a single-chip 30B-A3B doesn't fit 2x);
-                # packed u8 serves slower but at half the HBM
+            if decide_int8 is None:
+                decide_int8 = _nvfp4_layout_decision(tree, nvfp4_int8,
+                                                     expert_shards)
+            if not decide_int8:
+                # over capacity: keep the half-byte packed-u8 layout
+                # (serves slower but at half the HBM)
                 return x
             # int8 stores 2x the E2M1 value; the halved scale keeps every
             # consumer (dequantize, kernels, gather paths) layout-agnostic

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import itertools
+import logging
 from collections import deque
 from functools import partial
 from typing import Any, Deque, Dict, List, Optional, Sequence, Tuple
@@ -28,6 +29,8 @@ import numpy as np
 from ..models.config import ModelSpec
 from ..models.transformer import KVCache, forward
 from .engine import prefill as _prefill_fn
+
+logger = logging.getLogger(__name__)
 
 
 @dataclasses.dataclass
@@ -79,7 +82,12 @@ class ContinuousBatcher:
         # would re-derive mla_absorb (a full kv_b dequant + transpose per
         # layer) inside the per-token jit
         params = fuse_for_decode(spec, params)
-        from ..ops.linear import i4_device_layout, int4_jit_args_supported
+        from ..ops.linear import (
+            i4_device_layout,
+            infer_expert_shards,
+            int4_jit_args_supported,
+            nvfp4_capacity_plan,
+        )
 
         if jax.default_backend() == "tpu" and int4_jit_args_supported():
             # hold the fast signed-int4/int8 layouts at rest: _decode_step
@@ -87,7 +95,20 @@ class ContinuousBatcher:
             # re-relayout every token. The tunneled transport (which also
             # reports backend "tpu") can't pass sub-byte jit args — the
             # capability probe keeps the packed-u8 layout there.
-            params = jax.jit(i4_device_layout)(params)
+            #
+            # nvfp4 layout is decided ONCE here against real shardings: the
+            # int8-doubled layout is only taken when it fits per-chip HBM
+            # (EP-sharded expert stacks divide by their shard count).
+            shards = infer_expert_shards(params)
+            plan = nvfp4_capacity_plan(params, expert_shards=shards)
+            logger.info(
+                "nvfp4 layout plan: packed %.2f GB / int8 %.2f GB per chip "
+                "(budget %.2f GB, expert_shards=%d) -> %s",
+                plan["packed_bytes"] / 1e9, plan["int8_bytes"] / 1e9,
+                plan["budget_bytes"] / 1e9, shards,
+                "int8" if plan["int8_ok"] else "packed")
+            params = jax.jit(partial(
+                i4_device_layout, nvfp4_int8=plan["int8_ok"]))(params)
         self.params = params
         self.max_batch = max_batch
         self.max_len = max_len

@@ -180,3 +180,40 @@ class TestContinuousBatching:
             s.submit([], 4)
         with pytest.raises(ValueError):
             s.submit(list(range(20)), 4)
+
+
+class TestExpertShardedDecode:
+    """tp=2 expert-sharded NVFP4-MoE continuous-batching decode must match
+    the single-device oracle (the concrete serving plan for the 30B-A3B
+    coverage config: experts EP-sharded over tp)."""
+
+    def test_tp2_nvfp4_moe_batcher_matches_oracle(self, moe_model):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+        from __graft_entry__ import _quantize_params_rtn
+
+        from quantizers_tpu.serve.session import ContinuousBatcher
+
+        spec, params0 = moe_model
+        params = _quantize_params_rtn(
+            spec, jax.tree_util.tree_map(lambda x: x, params0))
+
+        reqs = [([1, 2, 3, 4], 5), ([9, 8, 7], 4)]
+        ref = {tuple(p): generate(spec, params, np.asarray([p], np.int32),
+                                  max_new_tokens=n)[0].tolist()
+               for p, n in reqs}
+
+        mesh = make_mesh({"dp": 4, "tp": 2})  # 4 experts % tp(2) == 0
+        sharded = shard_params(spec, params, mesh)
+        from quantizers_tpu.ops.linear import infer_expert_shards
+
+        assert infer_expert_shards(sharded) == 2
+        with mesh:
+            s = ContinuousBatcher(spec, sharded, max_batch=2, max_len=32,
+                                  prefill_buckets=(8,))
+            rids = [s.submit(p, n) for p, n in reqs]
+            res = s.run()
+        for rid, (p, n) in zip(rids, reqs):
+            assert res[rid] == ref[tuple(p)]
