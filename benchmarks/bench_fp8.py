@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""FP8_BLOCK end-to-end decode benchmark — GLM-4.7-Flash-family path.
+
+GLM-Flash-proxy geometry: MLA attention (DeepSeek-V2-Lite-shaped latent
+cache: D=2048, H=16, kv_lora_rank=512, rope 64 / nope 128 / v 128) with
+the reference's sensitive-layer policy
+(`scripts/quant_GLM-4.7-Flash-FP8.py:15-22`): `kv_a_proj_with_mqa`,
+router, embeddings stay bf16; `q_proj`/`kv_b_proj`/`o_proj` and the MLP
+projections are FP8_BLOCK 128x128. Depth-scaled to one chip; per-layer
+timings extrapolate (decode is bandwidth-bound).
+
+Serving path: on v5e every fused fp8-block kernel formulation crashes
+Mosaic or measures 15-66 GB/s (`ops/kernels.py:fp8_matmul`,
+`benchmarks/kernel_lab9.py`), so fp8 serves through the XLA path. The
+weight dequant is loop-invariant in the decode scan, so XLA hoists it:
+decode streams **bf16-resident copies (2x the fp8 at-rest bytes)**.
+Both rooflines are reported — `vs_baseline` is measured against the
+bf16-resident roofline the chosen path can physically reach, with the
+fp8-ideal (1 byte/weight) roofline alongside for the honest gap.
+
+Prints ONE JSON line like bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+sys.path.insert(0, ".")
+from bench import HBM_GBPS  # noqa: E402
+
+from quantizers_tpu.models import KVCache, ModelSpec  # noqa: E402
+from quantizers_tpu.models.transformer import fuse_for_decode  # noqa: E402
+from quantizers_tpu.ops.linear import QuantLinear, dense_linear  # noqa: E402
+from quantizers_tpu.serve.engine import _decode_scan, prefill  # noqa: E402
+
+B, T_PREFILL, STEPS, MAX_LEN = 8, 128, 128, 512
+LAYERS = 12  # matches bench_mla.py for direct W4-vs-FP8 comparability
+
+
+def make_fp8_linear(key, k: int, n: int, bk: int = 128, bn: int = 128):
+    """FP8_BLOCK weight in the exact serving layout (content irrelevant)."""
+    w = (jax.random.normal(key, (k, n), jnp.float32) * 0.05).astype(
+        jnp.float8_e4m3fn)
+    scale = jnp.full((-(-k // bk), -(-n // bn)), 0.7, jnp.float32)
+    return QuantLinear(kind="fp8", weight=w, scale=scale,
+                       meta=(("k", k), ("n", n), ("strategy", "block"),
+                             ("block_k", bk), ("block_n", bn)))
+
+
+def make_spec(on_tpu: bool) -> ModelSpec:
+    if not on_tpu:
+        return ModelSpec.tiny(mla=True)
+    return ModelSpec(
+        vocab_size=102400, hidden_size=2048, num_layers=LAYERS,
+        num_heads=16, num_kv_heads=16, head_dim=128,
+        intermediate_size=8192, qk_norm=False, tie_word_embeddings=True,
+        q_lora_rank=0, kv_lora_rank=512, qk_rope_head_dim=64,
+        qk_nope_head_dim=128, v_head_dim=128, model_type="deepseek_v3",
+    )
+
+
+def build_params(spec, key):
+    D = spec.hidden_size
+    H, dn, dr, dv = (spec.num_heads, spec.qk_nope_head_dim,
+                     spec.qk_rope_head_dim, spec.v_head_dim)
+    r = spec.kv_lora_rank
+    layers = []
+    keys = jax.random.split(key, spec.num_layers + 1)
+
+    def dense(k, k_in, n_out):
+        w = jax.random.normal(k, (n_out, k_in), jnp.bfloat16) * 0.02
+        return dense_linear(np.asarray(w))
+
+    for i in range(spec.num_layers):
+        ks = jax.random.split(keys[i], 8)
+        layers.append({
+            "input_layernorm": jnp.ones((D,), jnp.bfloat16),
+            "post_attention_layernorm": jnp.ones((D,), jnp.bfloat16),
+            "q_proj": make_fp8_linear(ks[0], D, H * (dn + dr)),
+            "kv_a_proj_with_mqa": dense(ks[1], D, r + dr),  # ignore-list: bf16
+            "kv_a_layernorm": jnp.ones((r,), jnp.bfloat16),
+            "kv_b_proj": make_fp8_linear(ks[2], r, H * (dn + dv)),
+            "o_proj": make_fp8_linear(ks[3], H * dv, D),
+            "mlp": {
+                "gate_proj": make_fp8_linear(ks[4], D, spec.intermediate_size),
+                "up_proj": make_fp8_linear(ks[5], D, spec.intermediate_size),
+                "down_proj": make_fp8_linear(ks[6], spec.intermediate_size, D),
+            },
+        })
+    embed = jax.random.normal(keys[-1], (spec.vocab_size, D), jnp.bfloat16) * 0.02
+    return {"embed": embed, "layers": layers,
+            "final_norm": jnp.ones((D,), jnp.bfloat16), "lm_head": None}
+
+
+def streamed_bytes(params) -> tuple:
+    """(bf16-resident per-step bytes, fp8-ideal per-step bytes).
+
+    fp8 weights serve via hoisted dequant -> bf16 copies are what decode
+    streams (2 bytes/weight); the ideal column prices them at-rest (1)."""
+    resident = ideal = 0
+    for leaf in jax.tree_util.tree_leaves(
+            params, is_leaf=lambda x: isinstance(x, QuantLinear)):
+        if isinstance(leaf, QuantLinear):
+            arrays = [a for a in (leaf.weight, leaf.scale, leaf.zero_point,
+                                  leaf.bias) if a is not None]
+            nb = sum(a.size * a.dtype.itemsize for a in arrays)
+            if leaf.kind == "fp8":
+                wvals = leaf.weight.size
+                resident += 2 * wvals  # hoisted bf16 copy is what's read
+                ideal += nb
+            else:
+                resident += nb
+                ideal += nb
+        elif hasattr(leaf, "size"):
+            resident += leaf.size * leaf.dtype.itemsize
+            ideal += leaf.size * leaf.dtype.itemsize
+    return resident, ideal
+
+
+def main():
+    backend = jax.default_backend()
+    on_tpu = backend in ("tpu", "axon")
+    log(f"backend={backend}")
+    spec = make_spec(on_tpu)
+
+    t0 = time.time()
+    if on_tpu:
+        params = build_params(spec, jax.random.PRNGKey(0))
+    else:
+        from quantizers_tpu.models import init_params
+
+        params = init_params(spec, jax.random.PRNGKey(0))
+    params = fuse_for_decode(spec, params)
+    params = jax.block_until_ready(params)
+    resident, ideal = streamed_bytes(params)
+    log(f"params built in {time.time()-t0:.0f}s; bf16-resident stream "
+        f"{resident/1e9:.2f} GB/step (fp8-ideal {ideal/1e9:.2f})")
+
+    caches = KVCache.init(spec, B, MAX_LEN)
+    ids = jnp.asarray((np.arange(B * T_PREFILL).reshape(B, T_PREFILL) * 97 + 1)
+                      % spec.vocab_size, jnp.int32)
+    last, caches = prefill(params, spec, ids, caches)
+    first = jnp.argmax(last, axis=-1).astype(jnp.int32)
+    log("prefill done")
+
+    key = jax.random.PRNGKey(1)
+    steps = STEPS if on_tpu else 8
+    t0 = time.time()
+    toks, _ = _decode_scan(params, spec, caches, first, key, steps=steps,
+                           temperature=0.0, top_k=0)
+    np.asarray(toks)
+    log(f"decode compile+first {time.time()-t0:.0f}s")
+    best = float("inf")
+    for i in range(3):
+        t0 = time.time()
+        toks, _ = _decode_scan(params, spec, caches, first + i, key, steps=steps,
+                               temperature=0.0, top_k=0)
+        np.asarray(toks)
+        best = min(best, time.time() - t0)
+        log(f"run {i}: {(time.time()-t0)*1e3:.0f} ms / {steps} steps")
+
+    tok_s = B * steps / best
+    kv_bytes = sum(c.k.size * c.k.dtype.itemsize
+                   + c.v.size * c.v.dtype.itemsize for c in caches)
+    bw = HBM_GBPS.get(jax.devices()[0].device_kind, 819.0) * 1e9
+    roofline_resident = B * bw / (resident + kv_bytes)
+    roofline_ideal = B * bw / (ideal + kv_bytes)
+    log(f"bf16-resident roofline {roofline_resident:.0f} tok/s; "
+        f"fp8-ideal roofline {roofline_ideal:.0f} tok/s "
+        f"(latent cache {kv_bytes/1e6:.0f} MB)")
+    print(json.dumps({
+        "metric": f"decode_tokens_per_s_per_chip_fp8mla{spec.num_layers}L_fp8block",
+        "value": round(tok_s, 1),
+        "unit": "tok/s/chip",
+        "vs_baseline": (round(tok_s / (0.9 * roofline_resident), 3)
+                        if on_tpu else 0),
+        "roofline_bf16_resident": round(roofline_resident, 1),
+        "roofline_fp8_ideal": round(roofline_ideal, 1),
+        "vs_fp8_ideal": round(tok_s / (0.9 * roofline_ideal), 3) if on_tpu else 0,
+    }))
+
+
+if __name__ == "__main__":
+    main()
