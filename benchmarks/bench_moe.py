@@ -86,8 +86,16 @@ def build_params(spec, key):
         }
         layers.append(layer)
     embed = jax.random.normal(keys[-1], (spec.vocab_size, D), jnp.bfloat16) * 0.02
+    # serving-layout option (models.transformer.quantize_lm_head): w8-channel
+    # logits head — halves the 0.62 GB/step tied-head stream at this geometry
+    head = QuantLinear(
+        kind="w8",
+        weight=jax.random.randint(keys[-1], (D, spec.vocab_size), -127, 128,
+                                  jnp.int8),
+        scale=jnp.full((1, spec.vocab_size), 0.01, jnp.float32),
+        meta=(("k", D), ("n", spec.vocab_size), ("strategy", "channel")))
     return {"embed": embed, "layers": layers, "final_norm": jnp.ones((D,), jnp.bfloat16),
-            "lm_head": None}
+            "lm_head": head}
 
 
 def main():
@@ -141,7 +149,12 @@ def main():
                      for l in params["layers"]) if on_tpu else 0
     routed = spec.num_layers * min(B * k, E) * expert_bytes
     kv_bytes = sum(c.k.size * c.k.dtype.itemsize * 2 for c in caches)
-    head_bytes = params["embed"].size * 2
+    if params.get("lm_head") is not None:  # w8 serving head (or dense)
+        head = params["lm_head"]
+        head_bytes = sum(a.size * a.dtype.itemsize
+                         for a in (head.weight, head.scale) if a is not None)
+    else:
+        head_bytes = params["embed"].size * 2
     per_step = attn_bytes + routed + kv_bytes + head_bytes
     # layout-honest roofline: the serving layout streams int8 (2 bytes per
     # E2M1 pair) because v5e has no hardware fp4 unpack — the int8 expert

@@ -73,9 +73,18 @@ class ContinuousBatcher:
     def __init__(self, spec: ModelSpec, params: Dict[str, Any],
                  max_batch: int = 8, max_len: int = 2048,
                  prefill_buckets: Sequence[int] = (32, 128, 512, 2048),
-                 eos_ids: Sequence[int] = ()) -> None:
+                 eos_ids: Sequence[int] = (),
+                 head_bits: Optional[int] = None) -> None:
         self.spec = spec
         from ..models.transformer import fuse_for_decode
+
+        if head_bits:
+            # opt-in quantized logits head (near-lossless w8-channel by
+            # default) — halves the per-step (V, D) head stream for tied
+            # embeddings; see models.transformer.quantize_lm_head
+            from ..models.transformer import quantize_lm_head
+
+            params = quantize_lm_head(spec, params, num_bits=head_bits)
 
         # serving layout: fused qkv/gateup projections and (for MLA) the
         # precomputed absorbed-decode weights — without this, _decode_step

@@ -217,3 +217,36 @@ class TestExpertShardedDecode:
             res = s.run()
         for rid, (p, n) in zip(rids, reqs):
             assert res[rid] == ref[tuple(p)]
+
+
+class TestQuantizedLmHead:
+    """w8-channel logits head: near-lossless quality, half the per-step
+    head stream for tied embeddings (serving-layout option)."""
+
+    def test_ppl_near_lossless_and_generate_matches(self, model):
+        from quantizers_tpu.models.transformer import quantize_lm_head
+        from quantizers_tpu.oneshot import make_batches
+        from quantizers_tpu.serve.session import ContinuousBatcher
+
+        spec, params = model
+        rng = np.random.default_rng(0)
+        wins = [list(rng.integers(1, spec.vocab_size, 24)) for _ in range(4)]
+        batches = make_batches(wins, max_seq_length=32, batch_size=2,
+                               pad_to_multiple=8)
+        p0 = perplexity(spec, params, batches)
+        params_q = quantize_lm_head(spec, params)
+        assert params_q["lm_head"] is not None
+        assert params_q["lm_head"].kind == "w8"
+        p1 = perplexity(spec, params_q, batches)
+        assert abs(p1 - p0) / p0 < 0.02, (p0, p1)  # near-lossless
+
+        # batcher opt-in: greedy output should match the bf16 head (tiny
+        # model, random weights -> argmax can flip on ties; compare against
+        # the quantized-head oracle instead of bf16)
+        s = ContinuousBatcher(spec, params, max_batch=2, max_len=32,
+                              prefill_buckets=(8,), head_bits=8)
+        rid = s.submit([1, 2, 3, 4], 5)
+        res = s.run()
+        ref = generate(spec, params_q, np.asarray([[1, 2, 3, 4]], np.int32),
+                       max_new_tokens=5)[0].tolist()
+        assert res[rid] == ref
