@@ -142,7 +142,24 @@ def main() -> None:
     params = build_params(spec, jax.random.PRNGKey(0))
     params = fuse_for_decode(spec, params)  # qkv/gateup fused serving layout
     params = jax.block_until_ready(params)
+    # roofline denominator: the recipe-faithful model bytes (bf16 tied head)
+    # — serving-layout choices below move only the numerator
     wbytes = weight_bytes(params)
+    if os.environ.get("QTPU_BENCH_HEAD") == "w8":
+        # opt-in w8 logits head (models.transformer.quantize_lm_head):
+        # halves the 0.78 GB/step tied-head stream at Qwen3-4B geometry
+        from quantizers_tpu.ops.linear import QuantLinear
+
+        D, V = spec.hidden_size, spec.vocab_size
+        params = dict(params)
+        params["lm_head"] = QuantLinear(
+            kind="w8",
+            weight=jax.random.randint(jax.random.PRNGKey(7), (D, V), -127,
+                                      128, jnp.int8),
+            scale=jnp.full((1, V), 0.01, jnp.float32),
+            meta=(("k", D), ("n", V), ("strategy", "channel")))
+        params = jax.block_until_ready(params)
+        log("serving layout: w8 logits head")
     log(f"params built in {time.time()-t0:.1f}s; weights+scales {wbytes/1e9:.2f} GB")
 
     caches = KVCache.init(spec, B, max_len)
