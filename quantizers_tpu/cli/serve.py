@@ -43,6 +43,10 @@ def main(argv=None) -> int:
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--max-len", type=int, default=2048)
     p.add_argument("--platform", default=None)
+    p.add_argument("--head-bits", type=int, default=None,
+                   help="quantize the logits head for serving (8 = "
+                        "near-lossless w8-channel; halves the tied-head "
+                        "HBM stream per decode step)")
     p.add_argument("--mesh", default=None,
                    help="mesh axes, e.g. dp=1,tp=4 (shards weights over devices)")
     args = p.parse_args(argv)
@@ -104,7 +108,8 @@ def main(argv=None) -> int:
 
     with ctx:
         batcher = ContinuousBatcher(spec, params, max_batch=args.max_batch,
-                                    max_len=args.max_len, eos_ids=eos)
+                                    max_len=args.max_len, eos_ids=eos,
+                                    head_bits=args.head_bits)
         rid_to_prompt = {}
         for text in prompts:
             ids = tokenizer(text)["input_ids"]
