@@ -215,3 +215,41 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-v"]))
+
+
+class TestMoEEndToEnd:
+    """MoE coverage config through the full CLI surface: tiny MoE model ->
+    do_oneshot with the experts-only NVFP4 recipe -> validate -> serve."""
+
+    def test_moe_oneshot_then_serve(self, tmp_path, repo_root, capsys):
+        moe_dir = tmp_path / "tiny_moe"
+        assert make_tiny_main([str(moe_dir), "--moe", "--vocab", "300",
+                               "--platform", ""]) == 0
+        run_cfg = tmp_path / "run.yaml"
+        run_cfg.write_text(f"""
+model:
+  name: {moe_dir}
+quantization:
+  recipe: {repo_root}/configs/recipes/recipe_moe_rtn_nvfp4.yaml
+calibration_set: {repo_root}/configs/calibration_sets/test-calibrate_quick.yaml
+""")
+        out = tmp_path / "out_moe"
+        rc = do_oneshot_main([
+            "--config", str(run_cfg), "--output", str(out),
+            "--cache-dir", str(tmp_path / "cache"),
+            "--max-seq-length", "64",
+        ])
+        assert rc == 0
+        cfg = json.loads((out / "config.json").read_text())
+        groups = cfg["quantization_config"]["config_groups"]
+        assert any(g["weights"]["num_bits"] == 4 and g["weights"]["type"] == "float"
+                   for g in groups.values())
+        assert validate_main([str(out)]) == 0
+
+        from quantizers_tpu.cli.serve import main as serve_main
+
+        rc = serve_main([str(out), "--prompt", "hello experts",
+                         "--max-new-tokens", "4", "--max-len", "64",
+                         "--head-bits", "8"])
+        assert rc == 0
+        assert capsys.readouterr().out.strip()
