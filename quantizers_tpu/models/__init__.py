@@ -17,5 +17,6 @@ from .transformer import (  # noqa: F401
     forward,
     init_params,
     logits_head,
+    quantize_lm_head,
 )
 from .loader import load_hf_model, load_compressed_model  # noqa: F401
