@@ -11,9 +11,11 @@ timings extrapolate (decode is bandwidth-bound).
 
 Serving path: on v5e every fused fp8-block kernel formulation crashes
 Mosaic or measures 15-66 GB/s (`ops/kernels.py:fp8_matmul`,
-`benchmarks/kernel_lab9.py`), so fp8 serves through the XLA path. The
-weight dequant is loop-invariant in the decode scan, so XLA hoists it:
-decode streams **bf16-resident copies (2x the fp8 at-rest bytes)**.
+`benchmarks/kernel_lab9.py`), so fp8 serves through the XLA path with an
+EXPLICITLY hoisted dequant: `i4_device_layout` converts fp8 -> bf16
+dense at the decode-scan entry (capacity-gated), so decode streams
+**bf16-resident copies (2x the fp8 at-rest bytes)** and never
+re-dequantizes per token.
 Both rooflines are reported — `vs_baseline` is measured against the
 bf16-resident roofline the chosen path can physically reach, with the
 fp8-ideal (1 byte/weight) roofline alongside for the honest gap.

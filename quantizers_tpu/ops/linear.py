@@ -211,6 +211,11 @@ def nvfp4_capacity_plan(tree: Any, hbm_bytes: Optional[int] = None,
             if (leaf.kind == "nvfp4" and leaf.weight.dtype == jnp.uint8):
                 w_nb = int(np.prod(leaf.weight.shape)) * 1
                 int8_extra += w_nb // div  # int8 layout stores 2 bytes/pair extra
+            elif leaf.kind == "fp8":
+                # fp8 serves via a bf16-dense copy (hoisted dequant), which
+                # adds 1 byte/weight over the 1-byte fp8 at rest
+                w_nb = int(np.prod(leaf.weight.shape)) * 1
+                int8_extra += w_nb // div
         elif hasattr(leaf, "shape") and hasattr(leaf, "dtype"):
             packed_total += int(np.prod(leaf.shape)) * leaf.dtype.itemsize
     budget = int((1.0 - headroom) * hbm_bytes)
@@ -243,14 +248,17 @@ def i4_device_layout(tree: Any, nvfp4_int8: Optional[bool] = None,
                      expert_shards: int = 1) -> Any:
     """Swap quantized payloads in a params pytree for the fast TPU device
     layouts: symmetric w4 -> signed int4 (:func:`w4_packed_to_int4`),
-    nvfp4 -> int8-doubled (:func:`nvfp4_packed_to_i8`) — for both
-    plain :class:`QuantLinear` s and stacked MoE ``ExpertLinears``.
+    nvfp4 -> int8-doubled (:func:`nvfp4_packed_to_i8`), fp8 -> bf16 dense
+    (explicitly hoisted dequant; no viable fused fp8 kernel on v5e) — for
+    both plain :class:`QuantLinear` s and stacked MoE ``ExpertLinears``.
     No-op off TPU, for asymmetric layouts, and for already-converted
-    leaves — safe to call unconditionally at every jit entry point.
+    leaves — safe to call unconditionally at every jit entry point (the
+    serving callers all sit OUTSIDE the decode scan body, so conversions
+    run once per scan call, not per token).
 
-    The nvfp4 int8-vs-packed choice is capacity-aware by default
-    (:func:`nvfp4_capacity_plan`); pass ``nvfp4_int8`` to pin it (the
-    serving session computes the plan once against its mesh and pins)."""
+    The byte-doubling choices (nvfp4-int8, fp8-dense) are capacity-aware
+    by default (:func:`nvfp4_capacity_plan`); pass ``nvfp4_int8`` to pin
+    (the serving session computes the plan once against its mesh)."""
     from .dispatch import _on_tpu
 
     if not _on_tpu():
@@ -287,8 +295,31 @@ def i4_device_layout(tree: Any, nvfp4_int8: Optional[bool] = None,
                 scale=(x.scale.astype(jnp.float32) * 0.5).astype(x.scale.dtype))
         return x
 
-    return jax.tree_util.tree_map(
+    def conv_fp8(x):
+        # fp8 has no viable fused kernel on v5e (every block-scale
+        # formulation crashes Mosaic or measures 15-66 GB/s — kernel_lab9),
+        # so serving runs XLA dequant+matmul. Converting HERE (the callers
+        # sit outside the decode scan body) makes the dequant hoist
+        # EXPLICIT instead of relying on XLA loop-invariant code motion:
+        # decode streams the bf16 copy, never re-dequantizing per token.
+        nonlocal decide_int8
+        if not (isinstance(x, QuantLinear) and x.kind == "fp8"):
+            return x
+        if decide_int8 is None:
+            decide_int8 = _nvfp4_layout_decision(tree, nvfp4_int8,
+                                                 expert_shards)
+        if not decide_int8:
+            return x  # over capacity: keep fp8 at rest, pay per-step dequant
+        md = dict(x.meta)
+        return QuantLinear(kind="dense", weight=x.dequantize(jnp.bfloat16),
+                           bias=x.bias,
+                           meta=(("k", int(md["k"])), ("n", int(md["n"]))))
+
+    out = jax.tree_util.tree_map(
         conv, tree,
+        is_leaf=lambda x: isinstance(x, QuantLinear) or hasattr(x, "num_experts"))
+    return jax.tree_util.tree_map(
+        conv_fp8, out,
         is_leaf=lambda x: isinstance(x, QuantLinear) or hasattr(x, "num_experts"))
 
 

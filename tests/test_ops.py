@@ -632,3 +632,41 @@ class TestNvfp4CapacityPlan:
         mesh = make_mesh({"dp": 2, "tp": 4})
         sharded = shard_params(spec, params, mesh)
         assert infer_expert_shards(sharded) == 4
+
+
+class TestFp8ServingLayout:
+    """fp8 serves as an explicitly-hoisted bf16-dense copy on TPU (no
+    viable fused fp8 kernel on v5e); conversion must be exact and
+    capacity-gated like the nvfp4 int8 layout."""
+
+    def _fp8_lin(self, k=256, n=256):
+        from quantizers_tpu.core import PRESET_SCHEMES
+
+        args = PRESET_SCHEMES["FP8_BLOCK"].weights
+        w = rand((n, k), seed=71)
+        return from_quantized(quantize(w, args), args)
+
+    def test_converts_to_dense_and_preserves_numerics(self):
+        from quantizers_tpu.ops import dispatch
+        from quantizers_tpu.ops import linear as linmod
+
+        lin = self._fp8_lin()
+        ref = np.asarray(lin.dequantize(jnp.bfloat16), np.float32)
+        orig = dispatch._on_tpu
+        dispatch._on_tpu = lambda: True
+        try:
+            out = linmod.i4_device_layout({"l": lin}, nvfp4_int8=True)["l"]
+            kept = linmod.i4_device_layout({"l": lin}, nvfp4_int8=False)["l"]
+        finally:
+            dispatch._on_tpu = orig
+        assert out.kind == "dense" and out.weight.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(np.asarray(out.weight, np.float32), ref)
+        assert kept.kind == "fp8"  # over-capacity: fp8 stays at rest
+
+    def test_capacity_plan_prices_fp8_doubling(self):
+        from quantizers_tpu.ops.linear import nvfp4_capacity_plan
+
+        lin = self._fp8_lin()
+        plan = nvfp4_capacity_plan({"l": lin}, hbm_bytes=10**9)
+        w_bytes = lin.weight.size  # 1 byte/weight at rest
+        assert plan["int8_bytes"] == plan["packed_bytes"] + w_bytes
