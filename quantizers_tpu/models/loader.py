@@ -163,7 +163,10 @@ def load_compressed_model(ckpt_dir: Union[str, Path],
             bias = reader.load_plain(bias_name) if bias_name in plain else None
             if prefix in quant:
                 qt, args = reader.load_quantized(prefix)
-                return from_quantized(qt, args, bias=bias)
+                scheme = reader.scheme_for(prefix)
+                return from_quantized(
+                    qt, args, bias=bias,
+                    act_args=scheme.input_activations if scheme else None)
             wname = f"{prefix}.weight"
             if wname in plain:
                 return dense_linear(reader.load_plain(wname), bias=bias, dtype=dtype)

@@ -166,10 +166,12 @@ class AutoRoundModifier(Modifier):
                 key = site.expert_prefix(e) if site.name == "down_proj" else site.prefix
                 X = self._rows_for(state, key, w.shape[-1])
                 qts.append(autoround_quantize(w[e], X, args, iters))
-            res = build_site_result(site, args, group, qt_per_expert=qts)
+            res = build_site_result(site, args, group, qt_per_expert=qts,
+                                    act_args=scheme.input_activations)
         else:
             w = weight_nk(site.get())
             X = self._rows_for(state, site.prefix, w.shape[-1])
             qt = autoround_quantize(w, X, args, iters)
-            res = build_site_result(site, args, group, qt=qt)
+            res = build_site_result(site, args, group, qt=qt,
+                                    act_args=scheme.input_activations)
         return self.finalize_site(state, site, scheme, res)

@@ -201,10 +201,14 @@ class AWQModifier(Modifier):
     def compress(self, state, site: LinearSite, group: str,
                  scheme: QuantScheme) -> SiteResult:
         args = scheme.weights
+        act = scheme.input_activations
         if site.is_expert:
-            res = build_site_result(site, args, group, w_enk=expert_weights_enk(site.get()))
+            res = build_site_result(site, args, group,
+                                    w_enk=expert_weights_enk(site.get()),
+                                    act_args=act)
         else:
-            res = build_site_result(site, args, group, w_nk=weight_nk(site.get()))
+            res = build_site_result(site, args, group,
+                                    w_nk=weight_nk(site.get()), act_args=act)
         return self.finalize_site(state, site, scheme, res)
 
 

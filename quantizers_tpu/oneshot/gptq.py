@@ -268,14 +268,17 @@ class GPTQModifier(Modifier):
                     H = jnp.eye(w.shape[-1], dtype=jnp.float32)
                 qt, _ = gptq_quantize(w[e], H, args, bs, damp)
                 qts.append(qt)
-            res = build_site_result(site, args, group, qt_per_expert=qts)
+            res = build_site_result(site, args, group, qt_per_expert=qts,
+                                    act_args=scheme.input_activations)
         else:
             H = state["H"].get(site.prefix)
             w = weight_nk(site.get())
             if H is None:
                 logger.warning("GPTQ: no activations for %s; falling back to RTN", site.prefix)
-                res = build_site_result(site, args, group, w_nk=w)
+                res = build_site_result(site, args, group, w_nk=w,
+                                        act_args=scheme.input_activations)
                 return self.finalize_site(state, site, scheme, res)
             qt, g_idx = gptq_quantize(w, H, args, bs, damp)
-            res = build_site_result(site, args, group, qt=qt, g_idx=g_idx)
+            res = build_site_result(site, args, group, qt=qt, g_idx=g_idx,
+                                    act_args=scheme.input_activations)
         return self.finalize_site(state, site, scheme, res)

@@ -75,11 +75,15 @@ def build_site_result(site: LinearSite, args: QuantizationArgs, group: str,
                       w_enk: Optional[jnp.ndarray] = None,
                       g_idx: Optional[np.ndarray] = None,
                       qt: Optional[Any] = None,
-                      qt_per_expert: Optional[List[Any]] = None) -> SiteResult:
+                      qt_per_expert: Optional[List[Any]] = None,
+                      act_args: Optional[QuantizationArgs] = None) -> SiteResult:
     """Quantize a site's weights (already transformed by the algorithm) and
     assemble the new device linear + on-disk records. Callers that solved
     their own quantization (GPTQ/AutoRound) pass prebuilt ``qt`` /
-    ``qt_per_expert`` instead of raw weights."""
+    ``qt_per_expert`` instead of raw weights. ``act_args`` (the scheme's
+    ``input_activations``) is recorded on the device linear so serving
+    computes with quantized activations where a native path exists (W8A8
+    int8 MXU)."""
     if site.is_expert:
         el: ExpertLinears = site.get()
         new_lins: List[QuantLinear] = []
@@ -88,7 +92,8 @@ def build_site_result(site: LinearSite, args: QuantizationArgs, group: str,
             qt_e = qt_per_expert[e] if qt_per_expert is not None else quantize(w_enk[e], args)
             qt_host = _to_host(qt_e)
             bias = el.expert(e).bias
-            new_lins.append(from_quantized(qt_host, args, bias=bias))
+            new_lins.append(from_quantized(qt_host, args, bias=bias,
+                                           act_args=act_args))
             records[site.expert_prefix(e)] = CompressedParam(qt=qt_host, args=args, group=group)
         return SiteResult(new_linear=ExpertLinears.stack(new_lins), records=records)
 
@@ -96,7 +101,7 @@ def build_site_result(site: LinearSite, args: QuantizationArgs, group: str,
     if qt is None:
         qt = quantize(w_nk, args)
     qt_host = _to_host(qt)
-    new_lin = from_quantized(qt_host, args, bias=lin.bias)
+    new_lin = from_quantized(qt_host, args, bias=lin.bias, act_args=act_args)
     rec = CompressedParam(qt=qt_host, args=args, group=group,
                           g_idx=None if g_idx is None else np.asarray(g_idx))
     return SiteResult(new_linear=new_lin, records={site.prefix: rec})
@@ -208,10 +213,11 @@ class RTNModifier(Modifier):
     def compress(self, state: Any, site: LinearSite, group: str,
                  scheme: QuantScheme) -> SiteResult:
         args = scheme.weights
+        act = scheme.input_activations
         if site.is_expert:
             w = expert_weights_enk(site.get())
-            res = build_site_result(site, args, group, w_enk=w)
+            res = build_site_result(site, args, group, w_enk=w, act_args=act)
         else:
             w = weight_nk(site.get())
-            res = build_site_result(site, args, group, w_nk=w)
+            res = build_site_result(site, args, group, w_nk=w, act_args=act)
         return self.finalize_site(state, site, scheme, res)

@@ -30,8 +30,40 @@ def xla_quant_matmul(x: jax.Array, lin: QuantLinear) -> jax.Array:
     return jnp.dot(x.astype(jnp.bfloat16), wt, preferred_element_type=jnp.float32).astype(x.dtype)
 
 
+def w8a8_token_matmul(x: jax.Array, lin: QuantLinear) -> jax.Array:
+    """W8A8 compute path: dynamic per-token symmetric int8 activations ×
+    per-channel int8 weights, accumulated in int32.
+
+    XLA lowers the int8×int8→int32 ``dot_general`` onto the MXU's
+    double-rate int8 pipe (v5e: 394 int8 TOPS vs 197 bf16), so prefill /
+    calibration forwards through W8A8 layers run at up to 2× the bf16
+    matmul rate instead of paying a dequant *and* a bf16-rate dot. The
+    integer math is exact and platform-independent — CPU tests certify
+    the TPU numerics bit-for-bit. Scheme semantics follow the
+    compressed-tensors W8A8 preset (`core/scheme.py` PRESET_SCHEMES;
+    reference exercises the zoo via llmcompressor recipes,
+    `main_seed-oss-fp8-kv8.py:168-202` style)."""
+    from ..core.numerics import dynamic_quantize_token_int8
+
+    xq, sx = dynamic_quantize_token_int8(x.astype(jnp.float32))
+    y32 = jax.lax.dot_general(
+        xq, lin.weight, (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    sw = lin.scale.astype(jnp.float32).reshape(-1)  # (1, N) -> (N,)
+    return (y32.astype(jnp.float32) * sx * sw).astype(x.dtype)
+
+
 def quant_matmul(x: jax.Array, lin: QuantLinear, use_kernel: Optional[bool] = None) -> jax.Array:
-    """x (..., K) @ W^T -> (..., N)."""
+    """x (..., K) @ W^T -> (..., N).
+
+    ``use_kernel=False`` forces the weight-dequant bf16 reference path —
+    for W8A8 that is the A16 oracle (activation quantization skipped),
+    used to isolate activation-quant damage in tests."""
+    if (use_kernel is not False and lin.kind == "w8"
+            and lin.zero_point is None):
+        md = lin.meta_dict
+        if md.get("act") == "token_i8" and not md.get("group_size"):
+            return w8a8_token_matmul(x, lin)
     if use_kernel is None:
         use_kernel = _on_tpu() and lin.kind in _KERNEL_KINDS
     if use_kernel and lin.kind in _KERNEL_KINDS:

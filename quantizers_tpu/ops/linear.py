@@ -473,15 +473,36 @@ def dense_linear(weight_nk: Any, bias: Optional[Any] = None, dtype=jnp.bfloat16)
     )
 
 
+def _act_meta(act_args: Optional[QuantizationArgs]) -> Tuple[Tuple[str, Any], ...]:
+    """Meta entries recording the scheme's *input-activation* quantization.
+
+    Only the case the TPU serving path can actually compute natively is
+    recorded: dynamic per-token symmetric INT8 (the W8A8 preset —
+    compressed-tensors ``input_activations`` with strategy=token,
+    dynamic=true). Dispatch then runs the matmul on the MXU's double-rate
+    int8 path instead of dequantizing to bf16
+    (:func:`quantizers_tpu.ops.dispatch.w8a8_token_matmul`)."""
+    if act_args is None:
+        return ()
+    if (act_args.dynamic and act_args.symmetric
+            and act_args.type == QuantType.INT and act_args.num_bits == 8
+            and act_args.strategy == QuantStrategy.TOKEN):
+        return (("act", "token_i8"),)
+    return ()
+
+
 def from_quantized(
     qt: QuantizedTensor,
     args: QuantizationArgs,
     bias: Optional[Any] = None,
     scale_dtype=jnp.bfloat16,
+    act_args: Optional[QuantizationArgs] = None,
 ) -> QuantLinear:
     """Build the device layout from a host :class:`QuantizedTensor`
     (values in the HF (N, K) orientation, as produced by core.quantize or
-    loaded by formats.CompressedModelReader)."""
+    loaded by formats.CompressedModelReader). ``act_args`` — the scheme's
+    ``input_activations`` — is recorded in meta when the serving path has
+    a native compute route for it (see :func:`_act_meta`)."""
     n, k = qt.shape
     values = np.asarray(qt.values)
     scale = np.asarray(qt.scale, dtype=np.float32)
@@ -509,7 +530,7 @@ def from_quantized(
             meta = (("k", k), ("n", n), ("group_size", int(args.group_size)))
             scale_t = scale.T
         else:  # channel: scale (N, 1) -> (1, N)
-            meta = (("k", k), ("n", n), ("group_size", None))
+            meta = (("k", k), ("n", n), ("group_size", None)) + _act_meta(act_args)
             scale_t = scale.reshape(n, -1).T
         zp = None
         if qt.zero_point is not None:

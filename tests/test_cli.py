@@ -253,3 +253,44 @@ calibration_set: {repo_root}/configs/calibration_sets/test-calibrate_quick.yaml
                          "--head-bits", "8"])
         assert rc == 0
         assert capsys.readouterr().out.strip()
+
+
+class TestW8A8EndToEnd:
+    """W8A8 flow: oneshot -> compressed checkpoint -> serving loader, with
+    the int8-MXU activation path engaged by the checkpoint's scheme (the
+    config_groups' input_activations survive the round trip)."""
+
+    def test_oneshot_serve_w8a8(self, tiny_model_dir, tmp_path, repo_root):
+        run_cfg = tmp_path / "run.yaml"
+        run_cfg.write_text(f"""
+model:
+  name: {tiny_model_dir}
+quantization:
+  recipe: {repo_root}/configs/recipes/recipe_w8a8_int8.yaml
+calibration_set: {repo_root}/configs/calibration_sets/test-calibrate_quick.yaml
+""")
+        out = tmp_path / "out"
+        rc = do_oneshot_main([
+            "--config", str(run_cfg), "--output", str(out),
+            "--cache-dir", str(tmp_path / "cache"),
+            "--max-seq-length", "64",
+        ])
+        assert rc == 0
+        qcfg = json.loads((out / "config.json").read_text())["quantization_config"]
+        (group,) = qcfg["config_groups"].values()
+        assert group["input_activations"]["dynamic"] is True
+        assert group["input_activations"]["num_bits"] == 8
+        assert validate_main([str(out)]) == 0
+
+        from quantizers_tpu.models.loader import load_compressed_model
+        from quantizers_tpu.serve import generate
+
+        spec, params = load_compressed_model(out)
+        lin = params["layers"][0]["q_proj"]
+        assert lin.kind == "w8"
+        assert dict(lin.meta).get("act") == "token_i8"
+
+        toks = generate(spec, params, np.asarray([[1, 2, 3, 4]], np.int32),
+                        max_new_tokens=4)
+        assert toks.shape == (1, 4)
+        assert np.isfinite(toks).all()

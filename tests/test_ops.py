@@ -670,3 +670,92 @@ class TestFp8ServingLayout:
         plan = nvfp4_capacity_plan({"l": lin}, hbm_bytes=10**9)
         w_bytes = lin.weight.size  # 1 byte/weight at rest
         assert plan["int8_bytes"] == plan["packed_bytes"] + w_bytes
+
+
+class TestW8A8TokenPath:
+    """W8A8: dynamic per-token int8 activations on the int8 MXU path
+    (ops/dispatch.py:w8a8_token_matmul). The integer dot is exact, so the
+    path must match a float emulation of the same quantization to f32
+    rounding, be platform-independent, and only engage when the scheme's
+    input_activations say so."""
+
+    def _w8a8_lin(self, k=128, n=96, seed=20):
+        scheme = PRESET_SCHEMES["W8A8"]
+        w = rand((n, k), seed=seed)
+        qt = quantize(w, scheme.weights)
+        return from_quantized(qt, scheme.weights,
+                              act_args=scheme.input_activations)
+
+    def test_act_meta_recorded(self):
+        lin = self._w8a8_lin()
+        assert lin.meta_dict.get("act") == "token_i8"
+        # weight-only W8A16 must NOT carry it
+        args = PRESET_SCHEMES["W8A16"].weights
+        w = rand((96, 128), seed=21)
+        lin16 = from_quantized(quantize(w, args), args)
+        assert "act" not in lin16.meta_dict
+
+    def test_matches_float_emulation(self):
+        from quantizers_tpu.core.numerics import dynamic_quantize_token_int8
+        from quantizers_tpu.ops.dispatch import w8a8_token_matmul
+
+        lin = self._w8a8_lin()
+        x = rand((4, 7, 128), seed=22, scale=3.0)
+        y = np.asarray(w8a8_token_matmul(x, lin), np.float32)
+        xq, sx = dynamic_quantize_token_int8(x.astype(jnp.float32))
+        ref = (np.asarray(xq, np.float32) @ np.asarray(lin.weight, np.float32)
+               ) * np.asarray(sx) * np.asarray(
+                   lin.scale, np.float32).reshape(-1)
+        assert y.shape == (4, 7, 96)
+        np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-4)
+
+    def test_dispatch_routes_by_act_meta(self):
+        """apply() uses the int8 path iff act meta is present;
+        use_kernel=False forces the A16 dequant oracle."""
+        from quantizers_tpu.ops.dispatch import w8a8_token_matmul
+
+        lin = self._w8a8_lin(seed=23)
+        x = rand((8, 128), seed=24, scale=2.0)
+        routed = np.asarray(lin.apply(x))
+        direct = np.asarray(w8a8_token_matmul(x, lin))
+        np.testing.assert_array_equal(routed, direct)
+        # A16 oracle: same weights, unquantized activations — close but
+        # NOT identical (activation quantization is a real numeric change)
+        a16 = np.asarray(lin.apply(x, use_kernel=False))
+        assert not np.array_equal(routed, a16)
+        np.testing.assert_allclose(routed, a16, rtol=0.15, atol=0.3)
+
+    def test_group_scales_fall_back_to_dequant(self):
+        """int8 accumulation across K is only exact with per-channel
+        scales; group-wise w8 must keep the dequant path."""
+        args = QuantizationArgs(num_bits=8, type=QuantType.INT,
+                                strategy=QuantStrategy.GROUP, group_size=32)
+        w = rand((96, 128), seed=25)
+        lin = from_quantized(quantize(w, args), args)
+        object.__setattr__(lin, "meta", lin.meta + (("act", "token_i8"),))
+        x = rand((4, 128), seed=26)
+        y = np.asarray(lin.apply(x))
+        ref = np.asarray(xla_quant_matmul(x, lin))
+        np.testing.assert_array_equal(y, ref)
+
+    def test_oneshot_w8a8_records_act_meta(self):
+        """RTN oneshot with the W8A8 recipe produces serving linears that
+        carry the act meta (end-to-end plumbing through build_site_result)."""
+        from pathlib import Path
+
+        from quantizers_tpu.models import ModelSpec, init_params
+        from quantizers_tpu.oneshot import make_batches, oneshot
+        from quantizers_tpu.recipes import parse_recipe
+
+        recipe = parse_recipe(Path(__file__).resolve().parents[1]
+                              / "configs/recipes/recipe_w8a8_int8.yaml")
+        spec = ModelSpec.tiny()
+        params = init_params(spec, jax.random.PRNGKey(0))
+        batches = make_batches([[1, 2, 3, 4, 5, 6, 7, 8]],
+                               max_seq_length=8, batch_size=1)
+        result = oneshot(spec, params, recipe, batches)
+        lin = result.params["layers"][0]["q_proj"]
+        assert lin.kind == "w8"
+        assert lin.meta_dict.get("act") == "token_i8"
+        lin_mlp = result.params["layers"][0]["mlp"]["down_proj"]
+        assert lin_mlp.meta_dict.get("act") == "token_i8"

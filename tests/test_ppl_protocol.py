@@ -15,11 +15,17 @@ REPO = Path(__file__).resolve().parent.parent
 
 @pytest.mark.slow
 def test_protocol_positive_ordered_deltas():
-    proc = subprocess.run(
-        [sys.executable, str(REPO / "benchmarks" / "ppl_protocol.py")],
-        capture_output=True, text=True, timeout=900,
-        cwd=REPO,
-    )
+    # one retry: the subprocess runs a fit + three oneshots and can be
+    # killed by memory/CPU pressure when the whole suite runs alongside
+    # (observed once under a parallel full-suite run; passes standalone)
+    for attempt in range(2):
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "benchmarks" / "ppl_protocol.py")],
+            capture_output=True, text=True, timeout=900,
+            cwd=REPO,
+        )
+        if proc.returncode == 0:
+            break
     assert proc.returncode == 0, proc.stderr[-2000:]
     result = json.loads(proc.stdout.strip().splitlines()[-1])
 
