@@ -145,9 +145,14 @@ def main() -> None:
     # roofline denominator: the recipe-faithful model bytes (bf16 tied head)
     # — serving-layout choices below move only the numerator
     wbytes = weight_bytes(params)
-    if os.environ.get("QTPU_BENCH_HEAD") == "w8":
-        # opt-in w8 logits head (models.transformer.quantize_lm_head):
-        # halves the 0.78 GB/step tied-head stream at Qwen3-4B geometry
+    if os.environ.get("QTPU_BENCH_HEAD", "w8") == "w8":
+        # serving-default w8 logits head (models.transformer.quantize_lm_head):
+        # halves the 0.78 GB/step tied-head stream at Qwen3-4B geometry.
+        # Measured v5e: 1742.1 vs 1651.9 tok/s bf16-head (+5.5%); near-
+        # lossless (tests/test_serve_parallel.py w8-head oracle test and
+        # ppl_protocol delta_w8_head << 4-bit deltas). Opt out with
+        # QTPU_BENCH_HEAD=bf16. Denominator stays the recipe-faithful
+        # model roofline (bf16 tied head) — layout moves only the numerator.
         from quantizers_tpu.ops.linear import QuantLinear
 
         D, V = spec.hidden_size, spec.vocab_size

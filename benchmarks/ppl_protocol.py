@@ -26,9 +26,10 @@ noise-signed (round-2 verdict weakness #5):
   production run calibrates in-domain.
 
 Prints one JSON line:
-  {"bf16": P0, "w4a16_awq": .., "w4a16_rtn": .., "nvfp4_rtn": ..,
-   "delta_w4a16_awq": .., "delta_w4a16_rtn": .., "delta_nvfp4": ..,
-   "ordering_ok": bool}   # deltas > 0 and awq <= rtn at equal bit-width
+  {"bf16": P0, "bf16_w8head": .., "w4a16_awq": .., "w4a16_rtn": ..,
+   "nvfp4_rtn": .., "delta_w4a16_awq": .., "delta_w4a16_rtn": ..,
+   "delta_nvfp4": .., "delta_w8_head": .., "ordering_ok": bool}
+  # deltas > 0, awq <= rtn at equal bit-width, w8 head near-lossless
 
 Run: python benchmarks/ppl_protocol.py  (CPU, ~4 min)
 """
@@ -98,17 +99,19 @@ calibration_set:
     return calib
 
 
-def run_ppl(ckpt: Path, corpus: Path) -> float:
+def run_ppl(ckpt: Path, corpus: Path, head_bits: int | None = None) -> float:
     """eval_ppl CLI in-process, parsing its printed PPL."""
     import contextlib
     import io
 
     from quantizers_tpu.cli.eval_ppl import main as eval_ppl_main
 
+    argv = [str(ckpt), str(corpus), "--window", "128", "--stride", "128"]
+    if head_bits:
+        argv += ["--head-bits", str(head_bits)]
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        rc = eval_ppl_main([str(ckpt), str(corpus), "--window", "128",
-                            "--stride", "128"])
+        rc = eval_ppl_main(argv)
     assert rc == 0, buf.getvalue()
     last = buf.getvalue().strip().splitlines()[-1]  # "ppl=NNN tokens=..."
     return float(dict(kv.split("=") for kv in last.split())["ppl"])
@@ -163,6 +166,11 @@ quant_stage:
         results = {}
         results["bf16"] = run_ppl(model_dir, eval_file)
         log(f"bf16 ppl: {results['bf16']:.4f}")
+        # serving-layout option: w8-channel logits head on the bf16 model
+        # (models.transformer.quantize_lm_head, used by the benches).
+        # Near-lossless evidence for flipping the bench default.
+        results["bf16_w8head"] = run_ppl(model_dir, eval_file, head_bits=8)
+        log(f"bf16+w8head ppl: {results['bf16_w8head']:.4f}")
 
         for tag, recipe in (
                 ("w4a16_awq", f"{repo}/configs/recipes/recipe_awq_w4a16.yaml"),
@@ -189,10 +197,14 @@ calibration_set: {calib}
         results["delta_w4a16_awq"] = results["w4a16_awq"] - results["bf16"]
         results["delta_w4a16_rtn"] = results["w4a16_rtn"] - results["bf16"]
         results["delta_nvfp4"] = results["nvfp4_rtn"] - results["bf16"]
+        results["delta_w8_head"] = results["bf16_w8head"] - results["bf16"]
         ordering_ok = (results["delta_w4a16_awq"] > 0
                        and results["delta_w4a16_rtn"] > 0
                        and results["delta_nvfp4"] > 0
-                       and results["w4a16_awq"] <= results["w4a16_rtn"])
+                       and results["w4a16_awq"] <= results["w4a16_rtn"]
+                       # w8 head is near-lossless: far below the 4-bit deltas
+                       and abs(results["delta_w8_head"])
+                       < 0.25 * results["delta_w4a16_awq"])
         out_json = {k: round(v, 4) for k, v in results.items()}
         out_json["ordering_ok"] = bool(ordering_ok)
         print(json.dumps(out_json))

@@ -29,6 +29,9 @@ def main(argv=None) -> int:
     p.add_argument("--stride", type=int, default=2048)
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--max-windows", type=int, default=None)
+    p.add_argument("--head-bits", type=int, default=None,
+                   help="quantize the logits head to this many bits before "
+                        "scoring (serving-layout option, e.g. 8)")
     p.add_argument("--platform", default=None)
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO, force=True)
@@ -54,6 +57,12 @@ def main(argv=None) -> int:
     else:
         spec, params = load_hf_model(ckpt)
     logger.info("loaded %s in %.1fs", ckpt, time.time() - t0)
+
+    if args.head_bits:
+        from ..models.transformer import quantize_lm_head
+
+        params = quantize_lm_head(spec, params, num_bits=args.head_bits)
+        logger.info("quantized logits head to w%d-channel", args.head_bits)
 
     tokenizer = load_tokenizer(str(ckpt))
     text = Path(args.text_file).read_text()

@@ -35,4 +35,7 @@ def test_protocol_positive_ordered_deltas():
     # activation-aware scale search must not do worse than plain RTN at the
     # same bit-width (the reason AWQ exists)
     assert result["w4a16_awq"] <= result["w4a16_rtn"], result
+    # the w8-channel logits head (serving default) is near-lossless:
+    # well under the 4-bit weight deltas
+    assert abs(result["delta_w8_head"]) < 0.25 * result["delta_w4a16_awq"], result
     assert result["ordering_ok"] is True, result
