@@ -65,10 +65,21 @@ def timed(fn, n=3):
 
 
 def decode_scan_variant(params, spec, caches, first, *, steps,
-                        skip_attn=False, skip_head=False, skip_moe=False):
+                        skip_attn=False, skip_head=False, skip_moe=False,
+                        static_route=False):
+    from quantizers_tpu.models.moe import _gathered_topk_ffn
     from quantizers_tpu.ops.linear import i4_device_layout
 
     params = i4_device_layout(params)
+
+    # static_route: fixed routing constants (64 distinct experts, uniform
+    # combine weights) — removes the router matmul + softmax + top_k +
+    # take_along_axis chain from the step; the differential vs moe_only
+    # is the routing chain's in-scan cost.
+    topi_const = jnp.asarray(
+        (np.arange(B * 8).reshape(B, 8) * 2 + 1) % SPEC.num_experts,
+        jnp.int32)
+    topv_const = jnp.full((B, 8), 1.0 / 8, jnp.float32)
 
     def fwd(params, tok, caches):
         x = embed(params, tok[:, None])
@@ -83,7 +94,13 @@ def decode_scan_variant(params, spec, caches, first, *, steps,
                 a, nc = attention(layer, spec, h, positions, caches[i])
                 x = x + a
                 new_caches.append(nc)
-            if not skip_moe:
+            if static_route:
+                h = rms_norm(x, layer["post_attention_layernorm"],
+                             spec.rms_norm_eps)
+                y = _gathered_topk_ffn(layer["moe"], h.reshape(B, -1),
+                                       topi_const, topv_const)
+                x = x + y.astype(x.dtype).reshape(B, 1, -1)
+            elif not skip_moe:
                 h = rms_norm(x, layer["post_attention_layernorm"],
                              spec.rms_norm_eps)
                 x = x + moe_forward(layer["moe"], spec, h)
@@ -111,6 +128,8 @@ VARIANT_FLAGS = {
     "no_moe": {"skip_moe": True},
     "no_attn": {"skip_attn": True},
     "moe_only": {"skip_attn": True, "skip_head": True},
+    "moe_static": {"skip_attn": True, "skip_head": True,
+                   "static_route": True},
 }
 
 

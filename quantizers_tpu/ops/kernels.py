@@ -1076,7 +1076,7 @@ def _dequant_tile(codes, scale_ref, *, kind: str, g: int, k: int):
     return (vals.reshape(k // g, g, n) * s[:, None, :]).reshape(k, n)
 
 
-def _moe_slot_ffn_kernel(idx_ref, x_ref,
+def _moe_slot_ffn_kernel(idx_ref, order_ref, x_ref,
                          gw_ref, gs_ref, uw_ref, us_ref, dw_ref, ds_ref,
                          o_ref, acc,
                          *, kind: str, g: int, D: int, Fe: int, S: int,
@@ -1091,20 +1091,15 @@ def _moe_slot_ffn_kernel(idx_ref, x_ref,
     partial of the down sum, so per-step payload blocks are 1/NF-sized
     (full-payload blocks OOM the 16 MB scoped budget at Qwen3-30B
     geometry).
+
+    The token row streams IN and the slot output OUT through row-indexed
+    (1, 1, D) BlockSpecs on (S, 1, D) views — measured 1.42x over the
+    earlier one-hot select/scatter formulation, whose (1,S)@(S,D) MXU
+    select plus full (S, D) f32 accumulator RMW serialized with the
+    payload consume (benchmarks/lab_moe3.py: 294.7 vs 418.7 us/call at
+    Qwen3-30B-A3B geometry on v5e).
     """
-    s_i = pl.program_id(0)
-    f_i = pl.program_id(1)
-
-    @pl.when((s_i == 0) & (f_i == 0))
-    def _zero():
-        acc[:] = jnp.zeros_like(acc)
-
-    # dynamic row reads/writes of VMEM are illegal (sublane alignment), so
-    # the token row is selected and the output row written via one-hot
-    # matmuls on the (otherwise idle) MXU.
-    sel = (jax.lax.broadcasted_iota(jnp.int32, (1, S), 1) == s_i).astype(jnp.bfloat16)
-    x_s = jnp.dot(sel, x_ref[:], preferred_element_type=jnp.float32
-                  ).astype(jnp.bfloat16)  # (1, D)
+    x_s = x_ref[0]  # (1, D) bf16, row-streamed by the s grid axis
 
     fe = Fe // NF
     gate_w = _dequant_tile(gw_ref[0], gs_ref.at[0], kind=kind, g=g, k=D)
@@ -1114,57 +1109,84 @@ def _moe_slot_ffn_kernel(idx_ref, x_ref,
     a = (jax.nn.silu(gv) * uv).astype(jnp.bfloat16)
     down_w = _dequant_tile(dw_ref[0], ds_ref.at[0], kind=kind, g=g, k=fe)
     y = jnp.dot(a, down_w, preferred_element_type=jnp.float32)  # (1, D)
-    acc[:] += jnp.dot(sel.T, y.astype(jnp.bfloat16),
-                      preferred_element_type=jnp.float32)
 
-    @pl.when((s_i == S - 1) & (f_i == NF - 1))
+    if NF == 1:
+        # single Fe slice: no accumulation, no runtime predicates — the
+        # @pl.when regions below are dynamic branches that cost real time
+        # per grid step when they can never fire more than trivially
+        o_ref[0] = y
+        return
+
+    f_i = pl.program_id(1)
+
+    @pl.when(f_i == 0)
+    def _zero():
+        acc[:] = jnp.zeros_like(acc)
+
+    acc[:] += y
+
+    @pl.when(f_i == NF - 1)
     def _write():
-        o_ref[:] = acc[:]
+        o_ref[0] = acc[:]
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "g", "nf", "interpret"))
-def _moe_slot_ffn_call(x, idx, gw, gs, uw, us, dw, ds, *, kind, g, nf,
-                       interpret):
+def _moe_slot_ffn_call(x, idx_sorted, order, gw, gs, uw, us, dw, ds,
+                       *, kind, g, nf, interpret):
+    """``idx_sorted`` is the expert id per grid step (ascending, so equal
+    experts are consecutive and the pipeline skips refetches); ``order``
+    maps grid step -> original slot row. x rows are read and output rows
+    written through ``order_ref`` in the BlockSpec index maps, so the
+    expert-sort permutation costs ZERO data movement — the earlier
+    ``x[order]`` / ``out[inv]`` dynamic row gathers were ~2x the kernel's
+    own runtime in the decode scan (bench_moe 1368 tok/s with gathers vs
+    1610 without, v5e)."""
     S, D = x.shape
     Fe = gs.shape[-1]
 
     def col_spec(arr):
         # slice the trailing (Fe) axis by f_i
         shape = (1,) + arr.shape[1:-1] + (arr.shape[-1] // nf,)
-        return pl.BlockSpec(shape, lambda s, fi, idx_ref: (idx_ref[s], 0, fi),
+        return pl.BlockSpec(shape,
+                            lambda s, fi, idx_ref, order_ref: (idx_ref[s], 0, fi),
                             memory_space=pltpu.VMEM)
 
     def row_spec(arr):
         # slice the middle (Fe-derived rows) axis by f_i
         shape = (1, arr.shape[1] // nf, arr.shape[2])
-        return pl.BlockSpec(shape, lambda s, fi, idx_ref: (idx_ref[s], fi, 0),
+        return pl.BlockSpec(shape,
+                            lambda s, fi, idx_ref, order_ref: (idx_ref[s], fi, 0),
+                            memory_space=pltpu.VMEM)
+
+    def slot_spec():
+        return pl.BlockSpec((1, 1, D),
+                            lambda s, fi, idx_ref, order_ref: (order_ref[s], 0, 0),
                             memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(S, nf),
         in_specs=[
-            pl.BlockSpec((S, D), lambda s, fi, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
+            slot_spec(),
             col_spec(gw), col_spec(gs),
             col_spec(uw), col_spec(us),
             row_spec(dw), row_spec(ds),
         ],
-        out_specs=pl.BlockSpec((S, D), lambda s, fi, *_: (0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=slot_spec(),
         scratch_shapes=[
-            pltpu.VMEM((S, D), jnp.float32),
+            pltpu.VMEM((1, D), jnp.float32),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_moe_slot_ffn_kernel, kind=kind, g=g,
                           D=D, Fe=Fe, S=S, NF=nf),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((S, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((S, 1, D), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(idx, x, gw, gs, uw, us, dw, ds)
+    )(idx_sorted, order, x.reshape(S, 1, D), gw, gs, uw, us, dw, ds)
+    return out.reshape(S, D)
 
 
 def moe_slot_ffn(x, idx, gate_el, up_el, down_el,
@@ -1230,14 +1252,18 @@ def moe_slot_ffn(x, idx, gate_el, up_el, down_el,
     nf = 1
     while slot_bytes(nf) > 5_600_000 and nf_ok(nf * 2):
         nf *= 2
+    import os as _os
+    nf_env = _os.environ.get("QTPU_MOE_NF")
+    if nf_env and nf_ok(int(nf_env)):
+        nf = int(nf_env)
 
     idx = idx.astype(jnp.int32)
-    order = jnp.argsort(idx)
-    inv = jnp.argsort(order)
-    out = _moe_slot_ffn_call(
-        x.astype(jnp.bfloat16)[order], idx[order],
+    # the permutation to expert-sorted order lives entirely in the scalar-
+    # prefetch index maps (order_ref routes x/out rows) — no data movement
+    order = jnp.argsort(idx).astype(jnp.int32)
+    return _moe_slot_ffn_call(
+        x.astype(jnp.bfloat16), idx[order], order,
         gate_el.weight, gate_el.scale, up_el.weight, up_el.scale,
         down_el.weight, down_el.scale,
         kind=kind, g=g, nf=nf,
         interpret=_interpret() if interpret is None else interpret)
-    return out[inv]
