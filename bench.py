@@ -156,6 +156,7 @@ def main() -> None:
         from quantizers_tpu.ops.linear import QuantLinear
 
         D, V = spec.hidden_size, spec.vocab_size
+        V += (-V) % 1536  # tile-padded width (quantize_lm_head rule)
         params = dict(params)
         params["lm_head"] = QuantLinear(
             kind="w8",

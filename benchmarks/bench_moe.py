@@ -88,12 +88,12 @@ def build_params(spec, key):
     embed = jax.random.normal(keys[-1], (spec.vocab_size, D), jnp.bfloat16) * 0.02
     # serving-layout option (models.transformer.quantize_lm_head): w8-channel
     # logits head — halves the 0.62 GB/step tied-head stream at this geometry
+    Vp = spec.vocab_size + (-spec.vocab_size) % 1536  # tile-padded width
     head = QuantLinear(
         kind="w8",
-        weight=jax.random.randint(keys[-1], (D, spec.vocab_size), -127, 128,
-                                  jnp.int8),
-        scale=jnp.full((1, spec.vocab_size), 0.01, jnp.float32),
-        meta=(("k", D), ("n", spec.vocab_size), ("strategy", "channel")))
+        weight=jax.random.randint(keys[-1], (D, Vp), -127, 128, jnp.int8),
+        scale=jnp.full((1, Vp), 0.01, jnp.float32),
+        meta=(("k", D), ("n", Vp), ("strategy", "channel")))
     return {"embed": embed, "layers": layers, "final_norm": jnp.ones((D,), jnp.bfloat16),
             "lm_head": head}
 

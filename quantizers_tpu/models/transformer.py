@@ -506,7 +506,10 @@ def embed(params: Dict[str, Any], input_ids: jax.Array, dtype=jnp.bfloat16) -> j
 def logits_head(params: Dict[str, Any], spec: ModelSpec, x: jax.Array) -> jax.Array:
     x = rms_norm(x, params["final_norm"], spec.rms_norm_eps)
     if params.get("lm_head") is not None:
-        return params["lm_head"].apply(x)
+        out = params["lm_head"].apply(x)
+        if out.shape[-1] != spec.vocab_size:  # tile-padded head (see
+            out = out[..., :spec.vocab_size]  # quantize_lm_head)
+        return out
     # tied embeddings
     return jnp.einsum("btd,vd->btv", x, params["embed"].astype(x.dtype),
                       preferred_element_type=jnp.float32).astype(x.dtype)
@@ -602,7 +605,23 @@ def quantize_lm_head(spec: ModelSpec, params: Dict[str, Any],
                             symmetric=True, strategy=QuantStrategy.CHANNEL)
     qt = jax.jit(lambda w: quantize(w, args))(w_vd)
     out = dict(params)
-    out["lm_head"] = from_quantized(qt, args)
+    lin = from_quantized(qt, args)
+    # Pad the vocab axis to a 1536 (2^9*3) quantum. Qwen-class vocabs
+    # factor as 128*prime (151936 = 128*1187), which forces the pallas
+    # tile picker into (k, 128) strided column tiles (~500 GB/s on v5e);
+    # a composite width admits (256, 8448)-class tiles near the
+    # contiguous-stream rate. Padded columns have scale 0 -> logit 0 and
+    # are sliced off in logits_head.
+    V = lin.meta_dict["n"]
+    pad = (-V) % 1536
+    if pad and pad / V < 0.05:
+        lin = QuantLinear(
+            kind=lin.kind,
+            weight=jnp.pad(lin.weight, ((0, 0), (0, pad))),
+            scale=jnp.pad(lin.scale, ((0, 0), (0, pad))),
+            meta=tuple(("n", V + pad) if k_ == "n" else (k_, v_)
+                       for k_, v_ in lin.meta))
+    out["lm_head"] = lin
     return out
 
 
