@@ -146,7 +146,14 @@ def main():
         params = init_params(spec, jax.random.PRNGKey(0))
     params = fuse_for_decode(spec, params)
     params = jax.block_until_ready(params)
+    # rooflines stay pinned to the model's bf16 tied head; the serving-
+    # default w8 padded head moves only the numerator
     resident, ideal = streamed_bytes(params)
+    if on_tpu:
+        from quantizers_tpu.models.transformer import quantize_lm_head
+
+        params = jax.block_until_ready(quantize_lm_head(spec, params))
+        log("serving layout: w8 padded logits head")
     log(f"params built in {time.time()-t0:.0f}s; bf16-resident stream "
         f"{resident/1e9:.2f} GB/step (fp8-ideal {ideal/1e9:.2f})")
 

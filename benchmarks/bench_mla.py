@@ -103,7 +103,14 @@ def main():
         params = init_params(spec, jax.random.PRNGKey(0))
     params = fuse_for_decode(spec, params)
     params = jax.block_until_ready(params)
+    # roofline denominator: the recipe-faithful model bytes (bf16 tied
+    # head); the serving-default w8 padded head moves only the numerator
     wbytes = weight_bytes(params)
+    if on_tpu:
+        from quantizers_tpu.models.transformer import quantize_lm_head
+
+        params = jax.block_until_ready(quantize_lm_head(spec, params))
+        log("serving layout: w8 padded logits head")
     log(f"params {wbytes/1e9:.2f} GB in {time.time()-t0:.0f}s")
 
     caches = KVCache.init(spec, B, MAX_LEN)
