@@ -136,7 +136,7 @@ def main() -> None:
         B, T_prefill, steps, max_len = 2, 16, 8, 64
         kind = "tiny_cpu_fallback"
 
-    from quantizers_tpu.models.transformer import fuse_for_decode
+    from quantizers_tpu.models.transformer import fuse_for_decode, quantize_lm_head
 
     t0 = time.time()
     params = build_params(spec, jax.random.PRNGKey(0))
@@ -145,27 +145,15 @@ def main() -> None:
     # roofline denominator: the recipe-faithful model bytes (bf16 tied head)
     # — serving-layout choices below move only the numerator
     wbytes = weight_bytes(params)
-    if os.environ.get("QTPU_BENCH_HEAD", "w8") == "w8":
-        # serving-default w8 logits head (models.transformer.quantize_lm_head):
-        # halves the 0.78 GB/step tied-head stream at Qwen3-4B geometry.
-        # Measured v5e: 1742.1 vs 1651.9 tok/s bf16-head (+5.5%); near-
-        # lossless (tests/test_serve_parallel.py w8-head oracle test and
-        # ppl_protocol delta_w8_head << 4-bit deltas). Opt out with
-        # QTPU_BENCH_HEAD=bf16. Denominator stays the recipe-faithful
-        # model roofline (bf16 tied head) — layout moves only the numerator.
-        from quantizers_tpu.ops.linear import QuantLinear
-
-        D, V = spec.hidden_size, spec.vocab_size
-        V += (-V) % 1536  # tile-padded width (quantize_lm_head rule)
-        params = dict(params)
-        params["lm_head"] = QuantLinear(
-            kind="w8",
-            weight=jax.random.randint(jax.random.PRNGKey(7), (D, V), -127,
-                                      128, jnp.int8),
-            scale=jnp.full((1, V), 0.01, jnp.float32),
-            meta=(("k", D), ("n", V), ("strategy", "channel")))
-        params = jax.block_until_ready(params)
-        log("serving layout: w8 logits head")
+    # serving-default w8 logits head, built by the SAME API the session
+    # uses (models.transformer.quantize_lm_head — incl. the 1536 tile-pad
+    # rule and the explicit orig_n slice meta; no inline duplication).
+    # Halves the 0.78 GB/step tied-head stream at Qwen3-4B geometry; near-
+    # lossless (ppl_protocol delta_w8_head << 4-bit deltas). BOTH head
+    # layouts are timed below and reported in the JSON: `value` is the
+    # serving default (w8), `bf16_head` the recipe-faithful layout whose
+    # bytes pin the roofline denominator.
+    params_w8 = jax.block_until_ready(quantize_lm_head(spec, params))
     log(f"params built in {time.time()-t0:.1f}s; weights+scales {wbytes/1e9:.2f} GB")
 
     caches = KVCache.init(spec, B, max_len)
@@ -174,36 +162,37 @@ def main() -> None:
         jnp.int32)
 
     t0 = time.time()
-    last, caches = prefill(params, spec, ids, caches)
+    last, caches = prefill(params_w8, spec, ids, caches)
     last = jax.block_until_ready(last)
     log(f"prefill({B}x{T_prefill}) compile+run {time.time()-t0:.1f}s")
 
     first = jnp.argmax(last, axis=-1).astype(jnp.int32)
     key = jax.random.PRNGKey(1)
 
-    # compile decode scan. NOTE: timing must force a host fetch — through
-    # the tunneled TPU backend block_until_ready returns before the
-    # computation actually finishes, so np.asarray(...) is the only honest
-    # synchronization point.
-    t0 = time.time()
-    toks, caches2 = _decode_scan(params, spec, caches, first, key,
-                                 steps=steps, temperature=0.0, top_k=0)
-    _ = np.asarray(toks)
-    log(f"decode compile+first {time.time()-t0:.1f}s")
-
-    # timed runs (same cache state each time: throughput, not correctness);
-    # inputs varied so no layer of the stack can cache the execution.
-    best = float("inf")
-    for i in range(3):
+    # timing must force a host fetch — through the tunneled TPU backend
+    # block_until_ready returns before the computation actually finishes,
+    # so np.asarray(...) is the only honest synchronization point. Timed
+    # runs reuse the cache state (throughput, not correctness) with varied
+    # inputs so no layer of the stack can cache the execution.
+    def time_decode(p, label):
         t0 = time.time()
-        toks, _ = _decode_scan(params, spec, caches, first + i, key,
+        toks, _ = _decode_scan(p, spec, caches, first, key,
                                steps=steps, temperature=0.0, top_k=0)
         _ = np.asarray(toks)
-        dt = time.time() - t0
-        best = min(best, dt)
-        log(f"run {i}: {dt*1e3:.1f} ms for {steps} steps x batch {B}")
+        log(f"[{label}] decode compile+first {time.time()-t0:.1f}s")
+        best = float("inf")
+        for i in range(3):
+            t0 = time.time()
+            toks, _ = _decode_scan(p, spec, caches, first + i, key,
+                                   steps=steps, temperature=0.0, top_k=0)
+            _ = np.asarray(toks)
+            dt = time.time() - t0
+            best = min(best, dt)
+            log(f"[{label}] run {i}: {dt*1e3:.1f} ms for {steps} steps x batch {B}")
+        return B * steps / best
 
-    tokens_per_s = B * steps / best
+    tokens_per_s = time_decode(params_w8, "w8-head")
+    tokens_per_s_bf16 = time_decode(params, "bf16-head")
 
     # roofline: every decode step reads all weights once + the live KV slab
     kv_bytes_per_step = 0
@@ -223,6 +212,12 @@ def main() -> None:
         "value": round(tokens_per_s, 1),
         "unit": "tok/s/chip",
         "vs_baseline": round(tokens_per_s / target, 3),
+        # recipe-faithful layout (lm_head ignored per the reference recipe)
+        # — same denominator, so the pair stays apples-to-apples with
+        # pre-w8-head captures (ADVICE r3 #5)
+        "bf16_head": {"value": round(tokens_per_s_bf16, 1),
+                      "vs_baseline": round(tokens_per_s_bf16 / target, 3)},
+        "serving_layout": "w8-head",
     }))
 
 
@@ -239,6 +234,40 @@ def _last_json_line(text: str):
         if isinstance(obj, dict) and "metric" in obj:
             return obj
     return None
+
+
+#: secondary kernel-family benches (BASELINE.md coverage table) — run
+#: best-effort after the headline so BENCH_r*.json certifies all four
+#: families, not just W4A16 (round-3 verdict weak #2). Each prints its
+#: own one-line JSON; failures are recorded, never fatal.
+SECONDARY_BENCHES = ("bench_moe", "bench_mla", "bench_fp8", "bench_prefill")
+SECONDARY_TIMEOUT_S = int(os.environ.get("QTPU_BENCH_SECONDARY_TIMEOUT", "480"))
+
+
+def _run_secondary_benches():
+    if os.environ.get("QTPU_BENCH_SECONDARY", "1") != "1":
+        return None
+    root = os.path.dirname(os.path.abspath(__file__))
+    out = {}
+    for name in SECONDARY_BENCHES:
+        path = os.path.join(root, "benchmarks", f"{name}.py")
+        log(f"[bench] secondary {name} (timeout {SECONDARY_TIMEOUT_S}s)")
+        try:
+            proc = subprocess.run(
+                [sys.executable, path], cwd=root, capture_output=True,
+                text=True, timeout=SECONDARY_TIMEOUT_S)
+            parsed = _last_json_line(proc.stdout)
+            if proc.returncode == 0 and parsed is not None:
+                out[name] = parsed
+                log(f"[bench] secondary {name}: {json.dumps(parsed)[:200]}")
+            else:
+                out[name] = {"error": f"rc={proc.returncode}; "
+                             f"stderr tail: {proc.stderr[-300:]}"}
+        except subprocess.TimeoutExpired:
+            out[name] = {"error": f"timeout after {SECONDARY_TIMEOUT_S}s"}
+        except Exception as e:  # noqa: BLE001 - best-effort sweep
+            out[name] = {"error": repr(e)[:300]}
+    return out
 
 
 def orchestrate() -> None:
@@ -269,7 +298,14 @@ def orchestrate() -> None:
         sys.stderr.flush()
         parsed = _last_json_line(proc.stdout)
         if proc.returncode == 0 and parsed is not None:
-            print(json.dumps(parsed))
+            # print the headline NOW (a kill during the secondary sweep
+            # must never lose the round's capture), then re-print the
+            # combined record — the driver keeps the LAST parseable line.
+            print(json.dumps(parsed), flush=True)
+            secondary = _run_secondary_benches()
+            if secondary:
+                parsed["secondary"] = secondary
+                print(json.dumps(parsed), flush=True)
             return
         errors.append(
             f"attempt {attempt + 1}: rc={proc.returncode}; "

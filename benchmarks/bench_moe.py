@@ -34,10 +34,39 @@ import jax.numpy as jnp  # noqa: E402
 sys.path.insert(0, ".")
 from bench import HBM_GBPS, make_w4_linear, weight_bytes  # noqa: E402
 
+from functools import partial  # noqa: E402
+
 from quantizers_tpu.models import KVCache, ModelSpec  # noqa: E402
 from quantizers_tpu.models.moe import ExpertLinears  # noqa: E402
-from quantizers_tpu.ops.linear import QuantLinear  # noqa: E402
+from quantizers_tpu.models.transformer import forward, mla_absorb_layout  # noqa: E402
+from quantizers_tpu.ops.linear import QuantLinear, i4_device_layout  # noqa: E402
 from quantizers_tpu.serve.engine import _decode_scan, prefill  # noqa: E402
+
+
+@partial(jax.jit, static_argnames=("spec", "steps"))
+def _forced_decode_scan(params, spec, caches, first, forced, *, steps):
+    """Decode scan with a teacher-forced diverse token stream.
+
+    A randomly-initialized synthetic model collapses under argmax (and
+    even temperature-1 sampling — its head logits saturate softmax): all
+    batch rows emit the SAME token every step, so layers route to ~8
+    distinct experts instead of the ~50 real serving sees, and the
+    fetch-skipping slot kernel streams 6x fewer expert bytes than the
+    roofline assumes. Forcing an i.i.d.-uniform token stream restores
+    production routing diversity; the argmax (head + sampling cost) stays
+    in the timed path via a dead-value data dependency."""
+    params = mla_absorb_layout(spec, i4_device_layout(params))
+
+    def step(carry, ft):
+        caches, tok = carry
+        logits, caches = forward(params, spec, tok[:, None], caches=caches)
+        amax = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+        nxt = ft + jnp.minimum(amax, 0)  # == ft; keeps the head live
+        return (caches, nxt), nxt
+
+    (caches, _), toks = jax.lax.scan(step, (caches, first), forced,
+                                     length=steps)
+    return jnp.swapaxes(toks, 0, 1), caches
 
 B, T_PREFILL, STEPS, MAX_LEN = 8, 128, 128, 512
 LAYERS = 8  # of 48; per-layer cost extrapolates (bandwidth-bound)
@@ -59,7 +88,28 @@ def make_nvfp4_experts(key, e: int, k: int, n: int, g: int = 16) -> ExpertLinear
                          meta=(("k", k), ("n", n), ("group_size", g)))
 
 
+def _damp(lin, factor: float = 1e-3):
+    """Scale a quantized layer's output by ``factor`` (see build_params)."""
+    import dataclasses as _dc
+    return _dc.replace(lin, scale=lin.scale * factor)
+
+
 def build_params(spec, key):
+    """Synthetic params shaped for serving-cost measurement.
+
+    Two value choices pin ROUTING to the production regime (cost structure
+    — shapes, kernels, streamed bytes — is value-independent): unit-scale
+    embeddings and 1e-3-damped o_proj/down_proj output scales. Without
+    them a randomly-initialized deep residual stream collapses across
+    batch rows (row-cos -> 0.9999 by layer 3: diffuse random attention
+    averages ~128 random v's into a shared direction that swamps the
+    0.02-std embeddings), so every row routes to the SAME top-8 experts
+    and the fetch-skipping slot kernel streams 6x fewer expert bytes than
+    any real model would. Damped, every layer routes ~52 distinct experts
+    of the 64 slots — the binomial expectation for a load-balanced
+    trained router (E[distinct] = 128*(1-(127/128)^64) = 50.5). Measured
+    counts are reported in the bench JSON.
+    """
     D, Fe, E = spec.hidden_size, spec.moe_intermediate_size, spec.num_experts
     layers = []
     keys = jax.random.split(key, spec.num_layers + 1)
@@ -71,7 +121,7 @@ def build_params(spec, key):
             "q_proj": make_w4_linear(ks[0], D, spec.q_dim),
             "k_proj": make_w4_linear(ks[1], D, spec.kv_dim),
             "v_proj": make_w4_linear(ks[2], D, spec.kv_dim),
-            "o_proj": make_w4_linear(ks[3], spec.q_dim, D),
+            "o_proj": _damp(make_w4_linear(ks[3], spec.q_dim, D)),
             "q_norm": jnp.ones((spec.head_dim,), jnp.bfloat16),
             "k_norm": jnp.ones((spec.head_dim,), jnp.bfloat16),
             "moe": {
@@ -81,11 +131,11 @@ def build_params(spec, key):
                     meta=(("k", D), ("n", E))),
                 "gate_proj": make_nvfp4_experts(ks[5], E, D, Fe),
                 "up_proj": make_nvfp4_experts(ks[6], E, D, Fe),
-                "down_proj": make_nvfp4_experts(ks[7], E, Fe, D),
+                "down_proj": _damp(make_nvfp4_experts(ks[7], E, Fe, D)),
             },
         }
         layers.append(layer)
-    embed = jax.random.normal(keys[-1], (spec.vocab_size, D), jnp.bfloat16) * 0.02
+    embed = jax.random.normal(keys[-1], (spec.vocab_size, D), jnp.bfloat16)
     # serving-layout option (models.transformer.quantize_lm_head): w8-channel
     # logits head — halves the 0.62 GB/step tied-head stream at this geometry
     Vp = spec.vocab_size + (-spec.vocab_size) % 1536  # tile-padded width
@@ -93,7 +143,8 @@ def build_params(spec, key):
         kind="w8",
         weight=jax.random.randint(keys[-1], (D, Vp), -127, 128, jnp.int8),
         scale=jnp.full((1, Vp), 0.01, jnp.float32),
-        meta=(("k", D), ("n", Vp), ("strategy", "channel")))
+        meta=(("k", D), ("n", Vp), ("strategy", "channel"),
+              ("orig_n", spec.vocab_size)))
     return {"embed": embed, "layers": layers, "final_norm": jnp.ones((D,), jnp.bfloat16),
             "lm_head": head}
 
@@ -112,6 +163,12 @@ def main():
     if not on_tpu:
         from quantizers_tpu.models import init_params
         params = init_params(spec, jax.random.PRNGKey(0))
+    if on_tpu:
+        # serving layout: fused int8-per-channel experts (the session
+        # default when capacity allows; ops.linear.moe_w8pc_layout) —
+        # 1.39x faster slot kernel than int8-g16 (benchmarks/lab_moe4.py)
+        from quantizers_tpu.ops.linear import moe_w8pc_layout
+        params = jax.jit(moe_w8pc_layout)(params)
     params = jax.block_until_ready(params)
     wbytes = weight_bytes(params)
     log(f"params {wbytes/1e9:.2f} GB in {time.time()-t0:.0f}s")
@@ -125,16 +182,26 @@ def main():
 
     key = jax.random.PRNGKey(1)
     steps = STEPS if on_tpu else 8
+    forced = jax.random.randint(key, (steps, B), 0, spec.vocab_size,
+                                jnp.int32)
+    # measured routing diversity under the forced stream (reported in the
+    # JSON next to the 64-expert roofline assumption)
+    from quantizers_tpu.models.moe import route_topk_sparse
+    h = jnp.take(params["embed"], forced[0], axis=0).astype(jnp.float32)
+    ti, _tv = route_topk_sparse(
+        params["layers"][0]["moe"]["router"].apply(h),
+        spec.num_experts_per_tok, spec.norm_topk_prob)
+    distinct0 = int(np.unique(np.asarray(ti)).size)
     t0 = time.time()
-    toks, _ = _decode_scan(params, spec, caches, first, key, steps=steps,
-                           temperature=0.0, top_k=0)
+    toks, _ = _forced_decode_scan(params, spec, caches, first, forced,
+                                  steps=steps)
     np.asarray(toks)
     log(f"decode compile+first {time.time()-t0:.0f}s")
     best = float("inf")
     for i in range(3):
         t0 = time.time()
-        toks, _ = _decode_scan(params, spec, caches, first + i, key, steps=steps,
-                               temperature=0.0, top_k=0)
+        toks, _ = _forced_decode_scan(params, spec, caches, first + i,
+                                      forced, steps=steps)
         np.asarray(toks)
         best = min(best, time.time() - t0)
         log(f"run {i}: {(time.time()-t0)*1e3:.0f} ms / {steps} steps")
@@ -167,7 +234,16 @@ def main():
     else:
         head_bytes_served = head_bytes_model
     per_step = attn_bytes + routed + kv_bytes + head_bytes_model
-    expert_bytes_i8 = 3 * (D * Fe + (D // 16) * Fe * 2)
+    # served-layout expert bytes, from the ACTUAL arrays (w8pc fused when
+    # on tpu): int8 payloads + per-channel scales, per expert
+    moe0 = params["layers"][0]["moe"] if on_tpu else None
+    if moe0 is not None and "gate_up_proj" in moe0:
+        expert_bytes_i8 = sum(
+            (el.weight.size * el.weight.dtype.itemsize
+             + el.scale.size * el.scale.dtype.itemsize) // el.num_experts
+            for el in (moe0["gate_up_proj"], moe0["down_proj"]))
+    else:
+        expert_bytes_i8 = 3 * (D * Fe + (D // 16) * Fe * 2)
     routed_i8 = spec.num_layers * min(B * k, E) * expert_bytes_i8
     per_step_i8 = attn_bytes + routed_i8 + kv_bytes + head_bytes_served
     bw = HBM_GBPS.get(jax.devices()[0].device_kind, 819.0) * 1e9
@@ -185,7 +261,9 @@ def main():
         "roofline_int8_layout": round(roofline_i8, 1),
         "vs_int8_layout_roofline": (round(tok_s / (0.9 * roofline_i8), 3)
                                     if on_tpu else 0),
-        "serving_layout": "int8-experts+w8-head",
+        "serving_layout": "w8pc-fused-experts+w8-head",
+        "distinct_experts_layer0_step0": distinct0 if on_tpu else 0,
+        "routed_assumption": int(min(B * k, E)),
     }))
 
 

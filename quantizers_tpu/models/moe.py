@@ -175,7 +175,9 @@ def _slot_dequant(el: ExpertLinears, idx: jax.Array) -> jax.Array:
             vals = vals.reshape(vals.shape[0], -1, int(g), n)
             return (vals * s[:, :, None, :].astype(jnp.float32)
                     ).reshape(-1, k, n).astype(jnp.bfloat16)
-        return (vals * s.astype(jnp.float32)[:, None, :]).astype(jnp.bfloat16)
+        # per-channel: stacked scale is (S, 1, n) — broadcasts over k rows
+        return (vals * s.reshape(s.shape[0], 1, n).astype(jnp.float32)
+                ).astype(jnp.bfloat16)
     if el.kind == "fp8":
         vals = w.astype(jnp.float32)
         if md.get("strategy") == "block":
@@ -198,6 +200,22 @@ def _gathered_topk_ffn(moe: Dict[str, Any], h2: jax.Array, topi: jax.Array,
     N, k = topi.shape
     idx = topi.reshape(-1)                      # (N*k,)
     xs = jnp.repeat(h2, k, axis=0)              # (N*k, D)
+    if "gate_up_proj" in moe:
+        # fused w8pc serving layout (ops.linear.moe_w8pc_layout)
+        try:
+            y = _kernels.moe_slot_gu_ffn(xs, idx, moe["gate_up_proj"],
+                                         moe["down_proj"])
+        except _kernels.KernelUnsupported:
+            gu_w = _slot_dequant(moe["gate_up_proj"], idx)  # (N*k, D, 2Fe)
+            guv = jnp.einsum("sd,sdf->sf", xs, gu_w,
+                             preferred_element_type=jnp.float32)
+            Fe = guv.shape[-1] // 2
+            a = (jax.nn.silu(guv[:, :Fe]) * guv[:, Fe:]).astype(h2.dtype)
+            down_w = _slot_dequant(moe["down_proj"], idx)   # (N*k, Fe, D)
+            y = jnp.einsum("sf,sfd->sd", a, down_w,
+                           preferred_element_type=jnp.float32)
+        y = y.reshape(N, k, -1) * topv[:, :, None].astype(jnp.float32)
+        return y.sum(axis=1)
     try:
         # fused slot kernel: expert payloads stream HBM->VMEM and are
         # dequantized in place (the XLA path below materializes the
@@ -258,22 +276,37 @@ def moe_forward(moe: Dict[str, Any], spec, x: jax.Array,
     onehot = jax.nn.one_hot(topi, E, dtype=jnp.float32)
     weights = jnp.einsum("nk,nke->ne", topv, onehot)  # dense (N, E)
 
-    gate: ExpertLinears = moe["gate_proj"]
-    up: ExpertLinears = moe["up_proj"]
     down: ExpertLinears = moe["down_proj"]
+    if "gate_up_proj" in moe:
+        # fused w8pc serving layout: one apply yields gate|up together
+        gu: ExpertLinears = moe["gate_up_proj"]
 
-    def body(y, xs_e):
-        g_xs, u_xs, d_xs, w_col = xs_e
-        g = gate._from_sliced(g_xs)
-        u = up._from_sliced(u_xs)
-        d = down._from_sliced(d_xs)
-        a = jax.nn.silu(g.apply(h2).astype(jnp.float32)).astype(h2.dtype) * u.apply(h2)
-        out = d.apply(a)  # (N, D)
-        y = y + (w_col[:, None] * out.astype(jnp.float32))
-        ys = a if want_capture else None
-        return y, ys
+        def body(y, xs_e):
+            gu_xs, d_xs, w_col = xs_e
+            guv = gu._from_sliced(gu_xs).apply(h2).astype(jnp.float32)
+            Fe = guv.shape[-1] // 2
+            a = (jax.nn.silu(guv[:, :Fe]) * guv[:, Fe:]).astype(h2.dtype)
+            out = down._from_sliced(d_xs).apply(a)  # (N, D)
+            y = y + (w_col[:, None] * out.astype(jnp.float32))
+            return y, (a if want_capture else None)
 
-    xs = (gate._xs(), up._xs(), down._xs(), weights.T)  # weights.T: (E, N)
+        xs = (gu._xs(), down._xs(), weights.T)
+    else:
+        gate: ExpertLinears = moe["gate_proj"]
+        up: ExpertLinears = moe["up_proj"]
+
+        def body(y, xs_e):
+            g_xs, u_xs, d_xs, w_col = xs_e
+            g = gate._from_sliced(g_xs)
+            u = up._from_sliced(u_xs)
+            d = down._from_sliced(d_xs)
+            a = jax.nn.silu(g.apply(h2).astype(jnp.float32)).astype(h2.dtype) * u.apply(h2)
+            out = d.apply(a)  # (N, D)
+            y = y + (w_col[:, None] * out.astype(jnp.float32))
+            ys = a if want_capture else None
+            return y, ys
+
+        xs = (gate._xs(), up._xs(), down._xs(), weights.T)  # weights.T: (E, N)
     y0 = jnp.zeros((N, D), jnp.float32)
     y, down_inputs = jax.lax.scan(body, y0, xs)
 

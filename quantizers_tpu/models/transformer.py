@@ -506,9 +506,11 @@ def embed(params: Dict[str, Any], input_ids: jax.Array, dtype=jnp.bfloat16) -> j
 def logits_head(params: Dict[str, Any], spec: ModelSpec, x: jax.Array) -> jax.Array:
     x = rms_norm(x, params["final_norm"], spec.rms_norm_eps)
     if params.get("lm_head") is not None:
-        out = params["lm_head"].apply(x)
-        if out.shape[-1] != spec.vocab_size:  # tile-padded head (see
-            out = out[..., :spec.vocab_size]  # quantize_lm_head)
+        head = params["lm_head"]
+        out = head.apply(x)
+        orig_n = head.meta_dict.get("orig_n")  # tile-padded head: slice
+        if orig_n is not None:                 # (see quantize_lm_head)
+            out = out[..., :orig_n]
         return out
     # tied embeddings
     return jnp.einsum("btd,vd->btv", x, params["embed"].astype(x.dtype),
@@ -597,21 +599,25 @@ def quantize_lm_head(spec: ModelSpec, params: Dict[str, Any],
     from ..core.scheme import QuantizationArgs, QuantStrategy, QuantType
     from ..ops.linear import from_quantized
 
+    bias = None
     if params.get("lm_head") is not None:
         w_vd = params["lm_head"].dequantize(jnp.float32).T  # (V, D)
+        bias = params["lm_head"].bias  # an untied head may carry one
     else:
         w_vd = params["embed"].astype(jnp.float32)
     args = QuantizationArgs(num_bits=num_bits, type=QuantType.INT,
                             symmetric=True, strategy=QuantStrategy.CHANNEL)
     qt = jax.jit(lambda w: quantize(w, args))(w_vd)
     out = dict(params)
-    lin = from_quantized(qt, args)
+    lin = from_quantized(qt, args, bias=bias)
     # Pad the vocab axis to a 1536 (2^9*3) quantum. Qwen-class vocabs
     # factor as 128*prime (151936 = 128*1187), which forces the pallas
     # tile picker into (k, 128) strided column tiles (~500 GB/s on v5e);
     # a composite width admits (256, 8448)-class tiles near the
     # contiguous-stream rate. Padded columns have scale 0 -> logit 0 and
-    # are sliced off in logits_head.
+    # are sliced off in logits_head via the explicit ``orig_n`` meta
+    # (declared, not inferred from a shape mismatch — a resized or
+    # per-shard head must never be silently truncated).
     V = lin.meta_dict["n"]
     pad = (-V) % 1536
     if pad and pad / V < 0.05:
@@ -619,8 +625,9 @@ def quantize_lm_head(spec: ModelSpec, params: Dict[str, Any],
             kind=lin.kind,
             weight=jnp.pad(lin.weight, ((0, 0), (0, pad))),
             scale=jnp.pad(lin.scale, ((0, 0), (0, pad))),
+            bias=None if lin.bias is None else jnp.pad(lin.bias, (0, pad)),
             meta=tuple(("n", V + pad) if k_ == "n" else (k_, v_)
-                       for k_, v_ in lin.meta))
+                       for k_, v_ in lin.meta) + (("orig_n", V),))
     out["lm_head"] = lin
     return out
 

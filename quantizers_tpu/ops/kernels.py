@@ -1252,10 +1252,18 @@ def moe_slot_ffn(x, idx, gate_el, up_el, down_el,
     nf = 1
     while slot_bytes(nf) > 5_600_000 and nf_ok(nf * 2):
         nf *= 2
+    # debug-only override: accepted only when it tiles AND still fits the
+    # scoped-VMEM slot budget (a forced too-small nf at 30B-class geometry
+    # would OOM scoped VMEM instead of falling back)
     import os as _os
     nf_env = _os.environ.get("QTPU_MOE_NF")
-    if nf_env and nf_ok(int(nf_env)):
-        nf = int(nf_env)
+    if nf_env:
+        try:
+            nf_forced = int(nf_env)
+        except ValueError:
+            nf_forced = 0
+        if nf_forced and nf_ok(nf_forced) and slot_bytes(nf_forced) <= 5_600_000:
+            nf = nf_forced
 
     idx = idx.astype(jnp.int32)
     # the permutation to expert-sorted order lives entirely in the scalar-
@@ -1266,4 +1274,97 @@ def moe_slot_ffn(x, idx, gate_el, up_el, down_el,
         gate_el.weight, gate_el.scale, up_el.weight, up_el.scale,
         down_el.weight, down_el.scale,
         kind=kind, g=g, nf=nf,
+        interpret=_interpret() if interpret is None else interpret)
+
+
+# ---------------------------------------------------------------------------
+# fused gate|up slot FFN for the int8-per-channel expert serving layout
+# ---------------------------------------------------------------------------
+
+def _moe_slot_gu_kernel(idx_ref, order_ref, x_ref, guw_ref, dw_ref,
+                        gus_ref, ds_ref, o_ref, *, Fe: int):
+    """One expert slot per grid step: a single fused (D, 2*Fe) int8
+    payload feeds ONE MXU call producing gate|up together; per-channel
+    scales are applied to the (1, 2*Fe) / (1, D) matmul OUTPUTS, so the
+    only per-weight VPU work is the hardware int8->bf16 cvt — which the
+    payload DMA fully hides (the ``a8`` zero-dequant probe in
+    benchmarks/lab_moe4.py times the same 349 us/call as this kernel)."""
+    x_s = x_ref[0]  # (1, D) bf16, row-streamed through order_ref
+    guv = jnp.dot(x_s, guw_ref[0].astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)     # (1, 2Fe)
+    guv = guv * gus_ref[0].astype(jnp.float32)
+    gv, uv = guv[:, :Fe], guv[:, Fe:]
+    a = (jax.nn.silu(gv) * uv).astype(jnp.bfloat16)
+    y = jnp.dot(a, dw_ref[0].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)       # (1, D)
+    o_ref[0] = y * ds_ref[0].astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _moe_slot_gu_call(x, idx_sorted, order, guw, gus, dw, ds, *, interpret):
+    S, D = x.shape
+    Fe2 = guw.shape[-1]
+
+    def pay(arr):
+        return pl.BlockSpec((1,) + arr.shape[1:],
+                            lambda s, idx_ref, order_ref: (idx_ref[s], 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def slot_spec():
+        return pl.BlockSpec((1, 1, D),
+                            lambda s, idx_ref, order_ref: (order_ref[s], 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(S,),
+        in_specs=[slot_spec(), pay(guw), pay(dw), pay(gus), pay(ds)],
+        out_specs=slot_spec(),
+    )
+    out = pl.pallas_call(
+        functools.partial(_moe_slot_gu_kernel, Fe=Fe2 // 2),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((S, 1, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(idx_sorted, order, x.reshape(S, 1, D), guw, dw,
+      gus.reshape(gus.shape[0], 1, -1), ds.reshape(ds.shape[0], 1, -1))
+    return out.reshape(S, D)
+
+
+def moe_slot_gu_ffn(x, idx, gu_el, down_el,
+                    interpret: Optional[bool] = None):
+    """Gated FFN over ``S`` expert slots for the fused w8pc serving layout
+    (:func:`quantizers_tpu.ops.linear.moe_w8pc_layout`): per grid step the
+    routed expert's fused gate|up payload (one contiguous (D, 2*Fe) int8
+    block) and down payload stream HBM->VMEM via scalar-prefetched index
+    maps; slots run expert-sorted so repeated experts skip the refetch.
+
+    1.39x over the unfused group-scaled slot kernel at Qwen3-30B-A3B
+    geometry (486 -> 349 us/call, 661 GB/s effective = 93% of the
+    measured int8 streaming ceiling — benchmarks/lab_moe4.py).
+
+    x (S, D) bf16; idx (S,) int32. Returns (S, D) f32 (un-combined).
+    """
+    if gu_el.kind != "w8" or down_el.kind != "w8":
+        raise KernelUnsupported("moe_slot_gu_ffn needs the w8pc layout")
+    if dict(gu_el.meta).get("group_size") or dict(down_el.meta).get("group_size"):
+        raise KernelUnsupported("moe_slot_gu_ffn needs per-channel scales")
+    if gu_el.zero_point is not None or down_el.zero_point is not None:
+        raise KernelUnsupported("asymmetric experts go through the XLA path")
+    S, D = x.shape
+    Fe2 = int(dict(gu_el.meta)["n"])
+    if S % 8 or D % 128 or Fe2 % 256 or int(dict(down_el.meta)["k"]) != Fe2 // 2:
+        raise KernelUnsupported("moe_slot_gu_ffn geometry mismatch")
+    # double-buffered payload pair must fit scoped VMEM (16 MB):
+    per_slot = D * Fe2 + (Fe2 // 2) * D  # int8 bytes
+    if 2 * per_slot > 12_000_000:
+        raise KernelUnsupported("fused expert payload too large for VMEM")
+
+    idx = idx.astype(jnp.int32)
+    order = jnp.argsort(idx).astype(jnp.int32)
+    return _moe_slot_gu_call(
+        x.astype(jnp.bfloat16), idx[order], order,
+        gu_el.weight, gu_el.scale, down_el.weight, down_el.scale,
         interpret=_interpret() if interpret is None else interpret)

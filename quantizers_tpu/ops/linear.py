@@ -323,6 +323,100 @@ def i4_device_layout(tree: Any, nvfp4_int8: Optional[bool] = None,
         is_leaf=lambda x: isinstance(x, QuantLinear) or hasattr(x, "num_experts"))
 
 
+def experts_to_w8pc(el: Any) -> Any:
+    """Requantize a symmetric expert stack onto the **int8 per-channel**
+    serving grid (kind="w8", one scale per output column).
+
+    Why: per-channel scales fold into the slot kernel's matmul OUTPUT
+    (``y_n = (x @ W)_n * s_n`` — n multiplies instead of k*n), which
+    removes the group-scale VPU pass that made the int8-g16 slot kernel
+    compute-bound (486 -> 349 us/call at Qwen3-30B-A3B geometry,
+    benchmarks/lab_moe4.py). Quality: a requant of the already-quantized
+    values on a 4-16x finer grid (col_max/127 vs group_max/6 steps) —
+    +2.7% reconstruction RMSE over exact NVFP4 on heavy-tailed synthetic
+    weights, and measured end-to-end in benchmarks/ppl_protocol.py
+    (``nvfp4_w8pc``). Same at-rest bytes as the exact int8-doubled
+    layout, so the :func:`nvfp4_capacity_plan` gate applies unchanged.
+
+    Runs one expert at a time (``lax.map``) so the f32 dequant transient
+    stays at one (K, N) matrix, not (E, K, N).
+    """
+    from ..models.moe import ExpertLinears
+
+    if el.zero_point is not None:
+        raise ValueError("w8pc serving layout requires symmetric experts")
+    md = dict(el.meta)
+    k, n = int(md["k"]), int(md["n"])
+    kind, meta = el.kind, el.meta
+
+    def one(leaves):
+        w, s = leaves
+        lin = QuantLinear(kind=kind, weight=w, scale=s, meta=meta)
+        W = lin.dequantize(jnp.float32)  # (k, n)
+        sc = jnp.max(jnp.abs(W), axis=0, keepdims=True) / 127.0 + 1e-12
+        w8 = jnp.clip(jnp.round(W / sc), -127, 127).astype(jnp.int8)
+        return w8, sc.astype(jnp.float32)  # (k, n) int8, (1, n)
+
+    w8, sc = jax.lax.map(one, (el.weight, el.scale))
+    return ExpertLinears(kind="w8", weight=w8, scale=sc,
+                         meta=(("k", k), ("n", n), ("group_size", None)))
+
+
+def fuse_experts_gate_up(gate_el: Any, up_el: Any) -> Any:
+    """Concatenate gate/up expert stacks along the output axis into one
+    (E, K, 2*Fe) payload — ONE HBM stream per expert slot instead of two
+    (the second-largest slot-kernel win in benchmarks/lab_moe4.py: 449 ->
+    349 us/call together with per-channel scales)."""
+    from ..models.moe import ExpertLinears
+
+    if gate_el.kind != up_el.kind or gate_el.meta != up_el.meta:
+        raise ValueError("gate/up fusion requires matching kind and meta")
+    md = dict(gate_el.meta)
+    n2 = 2 * int(md["n"])
+    meta = tuple((key, v) if key != "n" else ("n", n2) for key, v in gate_el.meta)
+    meta = meta + (("fused", "gate_up"),)
+
+    def cat(field):
+        a, b = getattr(gate_el, field), getattr(up_el, field)
+        if a is None and b is None:
+            return None
+        return jnp.concatenate([a, b], axis=-1)
+
+    return ExpertLinears(kind=gate_el.kind, weight=cat("weight"),
+                         scale=cat("scale"), zero_point=cat("zero_point"),
+                         bias=cat("bias"), meta=meta)
+
+
+def moe_w8pc_layout(tree: Any) -> Any:
+    """Swap every MoE block's gate/up/down expert stacks for the fused
+    int8-per-channel serving layout (``gate_up_proj`` + w8pc ``down_proj``;
+    see :func:`experts_to_w8pc`). Non-MoE leaves, routers, shared experts
+    and asymmetric/dense expert stacks pass through untouched. Apply ONCE
+    at session build (it requantizes; not per-token work)."""
+    def eligible(el: Any) -> bool:
+        return (_is_expert_stack(el) and el.zero_point is None
+                and el.kind in ("nvfp4", "w4", "w8") and el.scale is not None)
+
+    def walk(node: Any) -> Any:
+        if isinstance(node, dict):
+            node = {key: walk(v) for key, v in node.items()}
+            g, u, d = (node.get("gate_proj"), node.get("up_proj"),
+                       node.get("down_proj"))
+            if all(x is not None and eligible(x) for x in (g, u, d)):
+                node["gate_up_proj"] = fuse_experts_gate_up(
+                    experts_to_w8pc(g), experts_to_w8pc(u))
+                node["down_proj"] = experts_to_w8pc(d)
+                del node["gate_proj"], node["up_proj"]
+            return node
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        if isinstance(node, tuple):
+            return tuple(walk(v) for v in node)
+        return node
+
+    return walk(tree)
+
+
 def _fp4_values(codes: jax.Array) -> jax.Array:
     """E2M1 codes (int32, 0..15) -> float32 values, branchless arithmetic.
 

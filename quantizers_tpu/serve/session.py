@@ -116,6 +116,18 @@ class ContinuousBatcher:
                 plan["packed_bytes"] / 1e9, plan["int8_bytes"] / 1e9,
                 plan["budget_bytes"] / 1e9, shards,
                 "int8" if plan["int8_ok"] else "packed")
+            # MoE experts: default to the fused int8-per-channel layout
+            # (same per-chip bytes as int8-doubled, 1.39x faster slot
+            # kernel, near-lossless requant — ops.linear.moe_w8pc_layout;
+            # QTPU_MOE_LAYOUT=int8 keeps exact-NVFP4 numerics instead,
+            # =packed keeps the half-byte at-rest layout).
+            import os as _os
+
+            moe_layout = _os.environ.get("QTPU_MOE_LAYOUT", "w8pc")
+            if plan["int8_ok"] and moe_layout == "w8pc":
+                from ..ops.linear import moe_w8pc_layout
+
+                params = jax.jit(moe_w8pc_layout)(params)
             params = jax.jit(partial(
                 i4_device_layout, nvfp4_int8=plan["int8_ok"]))(params)
         self.params = params

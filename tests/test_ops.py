@@ -759,3 +759,161 @@ class TestW8A8TokenPath:
         assert lin.meta_dict.get("act") == "token_i8"
         lin_mlp = result.params["layers"][0]["mlp"]["down_proj"]
         assert lin_mlp.meta_dict.get("act") == "token_i8"
+
+
+class TestMoEW8pcFusedLayout:
+    """int8-per-channel fused expert serving layout (round-4): requant
+    onto a 4-16x finer grid, gate|up fused into one payload, per-channel
+    scales folded into the slot kernel's matmul outputs
+    (ops.linear.moe_w8pc_layout + ops.kernels.moe_slot_gu_ffn)."""
+
+    def _moe(self, E=4, D=256, Fe=128, g=16, seed=0):
+        from quantizers_tpu.core import quantize as _q
+        from quantizers_tpu.core.scheme import PRESET_SCHEMES
+        from quantizers_tpu.models.moe import ExpertLinears
+
+        args = PRESET_SCHEMES["NVFP4"].weights
+        rng = np.random.default_rng(seed)
+
+        def stack(k_in, n_out, s):
+            lins = []
+            for e in range(E):
+                w = jnp.asarray(rng.standard_normal((n_out, k_in)),
+                                jnp.float32) * 0.2
+                lins.append(from_quantized(_q(w, args), args))
+            return ExpertLinears.stack(lins)
+
+        return {
+            "router": dense_linear(rand((E, D), seed=seed + 9) * 0.1),
+            "gate_proj": stack(D, Fe, 1),
+            "up_proj": stack(D, Fe, 2),
+            "down_proj": stack(Fe, D, 3),
+        }
+
+    def test_layout_shapes_and_requant_error_bound(self):
+        from quantizers_tpu.ops.linear import moe_w8pc_layout
+
+        moe = self._moe()
+        fused = moe_w8pc_layout(moe)
+        assert "gate_up_proj" in fused and "gate_proj" not in fused
+        gu = fused["gate_up_proj"]
+        assert gu.kind == "w8" and gu.weight.dtype == jnp.int8
+        assert dict(gu.meta)["n"] == 256 and dict(gu.meta)["group_size"] is None
+        assert gu.scale.shape == (4, 1, 256)
+        # requant error is bounded by half an int8 step per element
+        exact = moe["gate_proj"].expert(0).dequantize(jnp.float32)
+        requant = gu.expert(0).dequantize(jnp.float32)[:, :128]
+        step = np.abs(np.asarray(exact)).max(axis=0) / 127.0
+        err = np.abs(np.asarray(requant - exact))
+        assert (err <= step[None, :] * 0.51 + 1e-7).all()
+
+    def test_requant_exact_when_representable(self):
+        """Weights already on an int8-per-channel grid round-trip exactly."""
+        from quantizers_tpu.models.moe import ExpertLinears
+        from quantizers_tpu.ops.linear import experts_to_w8pc
+
+        E, k, n = 2, 32, 16
+        rng = np.random.default_rng(1)
+        w8 = rng.integers(-127, 128, (E, k, n)).astype(np.int8)
+        w8[:, 0, :] = 127  # pin each column's absmax so the recomputed
+        sc = np.full((E, 1, n), 0.013, np.float32)  # scale reproduces
+        el = ExpertLinears(kind="w8", weight=jnp.asarray(w8),
+                           scale=jnp.asarray(sc),
+                           meta=(("k", k), ("n", n), ("group_size", None)))
+        out = experts_to_w8pc(el)
+        np.testing.assert_allclose(
+            np.asarray(out.expert(0).dequantize(jnp.float32)),
+            np.asarray(el.expert(0).dequantize(jnp.float32)), rtol=1e-5)
+
+    def test_fused_kernel_matches_xla_exact(self):
+        from quantizers_tpu.models.moe import _slot_dequant
+        from quantizers_tpu.ops.kernels import moe_slot_gu_ffn
+        from quantizers_tpu.ops.linear import moe_w8pc_layout
+
+        fused = moe_w8pc_layout(self._moe())
+        rng = np.random.default_rng(4)
+        S, D, Fe = 8, 256, 128
+        x = jnp.asarray(rng.standard_normal((S, D)), jnp.bfloat16)
+        idx = jnp.asarray(rng.integers(0, 4, S), jnp.int32)
+
+        y = moe_slot_gu_ffn(x, idx, fused["gate_up_proj"],
+                            fused["down_proj"], interpret=True)
+        guw = _slot_dequant(fused["gate_up_proj"], idx)
+        guv = jnp.einsum("sd,sdf->sf", x, guw,
+                         preferred_element_type=jnp.float32)
+        a = (jax.nn.silu(guv[:, :Fe]) * guv[:, Fe:]).astype(jnp.bfloat16)
+        dw = _slot_dequant(fused["down_proj"], idx)
+        ref = jnp.einsum("sf,sfd->sd", a, dw,
+                         preferred_element_type=jnp.float32)
+        # kernel computes in bf16; outputs are O(30) here, so scale atol
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=5e-2, atol=0.5)
+
+    def test_moe_forward_fused_paths_match_unfused(self):
+        from quantizers_tpu.models.config import ModelSpec
+        from quantizers_tpu.models.moe import moe_forward
+        from quantizers_tpu.ops.linear import moe_w8pc_layout
+
+        moe = self._moe()
+        fused = moe_w8pc_layout(moe)
+        spec = ModelSpec.tiny(moe=True, num_experts=4, num_experts_per_tok=2,
+                              hidden_size=256, moe_intermediate_size=128)
+        rng = np.random.default_rng(7)
+        # gathered decode regime (few tokens)
+        x = jnp.asarray(rng.standard_normal((1, 4, 256)), jnp.bfloat16)
+        y_f = moe_forward(fused, spec, x)
+        y_u = moe_forward(moe, spec, x)
+        np.testing.assert_allclose(np.asarray(y_f, np.float32),
+                                   np.asarray(y_u, np.float32),
+                                   rtol=6e-2, atol=0.5)
+        # all-expert scan regime (calibration/prefill semantics)
+        xb = jnp.asarray(rng.standard_normal((1, 40, 256)), jnp.bfloat16)
+        y_f = moe_forward(fused, spec, xb, all_experts=True)
+        y_u = moe_forward(moe, spec, xb, all_experts=True)
+        # requant (int8-pc over nvfp4) + bf16 accumulation: compare on a
+        # normalized scale, not elementwise-relative near zeros
+        diff = np.abs(np.asarray(y_f, np.float32) - np.asarray(y_u, np.float32))
+        assert diff.max() / (np.abs(np.asarray(y_u, np.float32)).max() + 1e-9) < 0.05
+
+    def test_forced_nf2_matches_nf1(self, monkeypatch):
+        """The NF>1 per-row accumulation path of the unfused slot kernel
+        (exercised at production geometry only) vs the nf=1 result —
+        forced via the debug-only QTPU_MOE_NF override (ADVICE r3 #3)."""
+        import dataclasses as dc
+
+        from quantizers_tpu.core import quantize as _q
+        from quantizers_tpu.core.scheme import PRESET_SCHEMES
+        from quantizers_tpu.models.moe import ExpertLinears
+        from quantizers_tpu.ops.kernels import moe_slot_ffn
+        from quantizers_tpu.ops.linear import nvfp4_packed_to_i8
+
+        args = PRESET_SCHEMES["NVFP4"].weights
+        rng = np.random.default_rng(11)
+        E, D, Fe, S = 4, 256, 256, 8
+
+        def stack(k_in, n_out):
+            lins = []
+            for _ in range(E):
+                w = jnp.asarray(rng.standard_normal((n_out, k_in)),
+                                jnp.float32) * 0.2
+                lins.append(from_quantized(_q(w, args), args))
+            el = ExpertLinears.stack(lins)
+            # int8 device layout (u8-packed payloads cannot be Fe-sliced)
+            return dc.replace(
+                el, weight=nvfp4_packed_to_i8(el.weight),
+                scale=(el.scale.astype(jnp.float32) * 0.5).astype(el.scale.dtype))
+
+        gate, up, down = stack(D, Fe), stack(D, Fe), stack(Fe, D)
+        x = jnp.asarray(rng.standard_normal((S, D)), jnp.bfloat16)
+        idx = jnp.asarray(rng.integers(0, E, S), jnp.int32)
+
+        y1 = moe_slot_ffn(x, idx, gate, up, down, interpret=True)
+        monkeypatch.setenv("QTPU_MOE_NF", "2")
+        y2 = moe_slot_ffn(x, idx, gate, up, down, interpret=True)
+        np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
+                                   rtol=2e-2, atol=2e-2)
+        # garbage / budget-violating overrides are ignored, not fatal
+        monkeypatch.setenv("QTPU_MOE_NF", "notanint")
+        y3 = moe_slot_ffn(x, idx, gate, up, down, interpret=True)
+        np.testing.assert_allclose(np.asarray(y3), np.asarray(y1),
+                                   rtol=2e-2, atol=2e-2)

@@ -250,3 +250,60 @@ class TestQuantizedLmHead:
         ref = generate(spec, params_q, np.asarray([[1, 2, 3, 4]], np.int32),
                        max_new_tokens=5)[0].tolist()
         assert res[rid] == ref
+
+
+class TestPaddedQuantizedHead:
+    """The 1536 tile-pad rule of quantize_lm_head (never triggered by tiny
+    test vocabs, whose pad fraction exceeds the 5% cap — ADVICE r3 #3):
+    padded logits must slice back exactly to the unpadded head's."""
+
+    def _spec_params(self, vocab):
+        from quantizers_tpu.models import ModelSpec, init_params
+
+        spec = ModelSpec.tiny(vocab_size=vocab, hidden_size=64,
+                              num_layers=1, num_heads=2, num_kv_heads=2,
+                              head_dim=32, intermediate_size=128)
+        return spec, init_params(spec, jax.random.PRNGKey(0))
+
+    def test_padded_head_slices_to_unpadded_logits(self):
+        from quantizers_tpu.models.transformer import (forward,
+                                                       quantize_lm_head)
+
+        vocab = 31000  # pad = 1256 (4.05% < the 5% cap) -> padding fires
+        spec, params = self._spec_params(vocab)
+        pq = quantize_lm_head(spec, params)
+        head = pq["lm_head"]
+        assert dict(head.meta)["n"] == 32256 and dict(head.meta)["orig_n"] == vocab
+        ids = jnp.asarray([[1, 5, 9, 2]], jnp.int32)
+        logits, _ = forward(pq, spec, ids)
+        assert logits.shape[-1] == vocab
+        # unpadded oracle: same quantized weights, pad sliced off
+        import dataclasses as dc
+
+        unpadded = dc.replace(
+            head, weight=head.weight[:, :vocab], scale=head.scale[:, :vocab],
+            meta=tuple((k, vocab if k == "n" else v) for k, v in head.meta
+                       if k != "orig_n"))
+        ref, _ = forward(dict(pq, lm_head=unpadded), spec, ids)
+        np.testing.assert_allclose(np.asarray(logits, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_untied_head_bias_preserved(self):
+        """A biased untied lm_head keeps its bias through quantization
+        (ADVICE r3 #4) — padded with zeros when the tile-pad fires."""
+        from quantizers_tpu.models.transformer import quantize_lm_head
+        from quantizers_tpu.ops.linear import dense_linear
+
+        vocab = 31000
+        spec, params = self._spec_params(vocab)
+        rng = np.random.default_rng(3)
+        w = rng.standard_normal((vocab, 64)).astype(np.float32) * 0.1
+        b = rng.standard_normal((vocab,)).astype(np.float32)
+        params = dict(params, lm_head=dense_linear(w, bias=b))
+        pq = quantize_lm_head(spec, params)
+        head = pq["lm_head"]
+        assert head.bias is not None and head.bias.shape == (32256,)
+        np.testing.assert_allclose(np.asarray(head.bias[:vocab]), b,
+                                   rtol=1e-2, atol=1e-2)
+        assert float(jnp.abs(head.bias[vocab:]).max()) == 0.0
