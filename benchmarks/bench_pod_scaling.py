@@ -132,6 +132,10 @@ def selftest() -> int:
     s.bind(("127.0.0.1", 0))
     port = s.getsockname()[1]
     s.close()
+    # a known 1-host baseline exercises the scaling_efficiency arithmetic
+    # itself (the >=85% north-star formula: tok_s / (hosts * baseline)) so
+    # the reporting path is under test before real hardware ever runs it
+    baseline = 100.0
     procs = []
     for pid in range(2):
         env = dict(os.environ)
@@ -143,7 +147,8 @@ def selftest() -> int:
             [sys.executable, os.path.abspath(__file__),
              "--coordinator", f"127.0.0.1:{port}",
              "--num-hosts", "2", "--host-index", str(pid),
-             "--platform", "cpu"],
+             "--platform", "cpu",
+             "--baseline-tok-s", str(baseline)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True))
     ok = True
@@ -153,8 +158,15 @@ def selftest() -> int:
         ok &= p.returncode == 0
         if pid == 0:
             last = [ln for ln in out.splitlines() if ln.startswith("{")]
-            ok &= bool(last) and json.loads(last[-1])["hosts"] == 2
+            ok &= bool(last)
             if last:
+                rec = json.loads(last[-1])
+                ok &= rec["hosts"] == 2
+                eff = rec.get("scaling_efficiency")
+                expect = round(rec["value"] / (2 * baseline), 3)
+                ok &= eff is not None and abs(eff - expect) < 1e-9
+                if eff is None or abs(eff - expect) >= 1e-9:
+                    log(f"selftest: scaling_efficiency wrong: {eff} != {expect}")
                 print(last[-1])
     return 0 if ok else 1
 

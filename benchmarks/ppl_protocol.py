@@ -25,13 +25,21 @@ noise-signed (round-2 verdict weakness #5):
 * AWQ calibrates on in-domain chain text (a local dataset dir), like a
   production run calibrates in-domain.
 
-Prints one JSON line:
-  {"bf16": P0, "bf16_w8head": .., "w4a16_awq": .., "w4a16_rtn": ..,
-   "nvfp4_rtn": .., "delta_w4a16_awq": .., "delta_w4a16_rtn": ..,
-   "delta_nvfp4": .., "delta_w8_head": .., "ordering_ok": bool}
-  # deltas > 0, awq <= rtn at equal bit-width, w8 head near-lossless
+Covers EVERY shipped recipe family (round-3 verdict weak #4): AWQ, RTN,
+GPTQ, AutoRound (all W4A16-g32 for equal-bits ordering), NVFP4,
+FP8_BLOCK, W8A8, the w8 logits head, KV8 (carried-cache scoring — the
+stateless eval path never touches KV, so KV8 gets its own
+decode-semantics metric), and the MoE w8pc fused expert serving layout
+(int8-per-channel requant of NVFP4 experts) against exact NVFP4.
 
-Run: python benchmarks/ppl_protocol.py  (CPU, ~4 min)
+Prints one JSON line with absolute PPLs, deltas vs bf16, and
+`ordering_ok` asserting: all weight-quant deltas > 0; calibrated methods
+beat plain RTN at equal bits (AWQ <= RTN, GPTQ <= RTN, AutoRound within
+noise of RTN); fp8/w8a8/w8-head/kv8 near-lossless (well under the 4-bit
+deltas); MoE w8pc within noise of exact NVFP4.
+
+Run: python benchmarks/ppl_protocol.py  (CPU, ~8 min; QTPU_PPL_MOE=0
+skips the MoE section, QTPU_PPL_FIT_STEPS shrinks the fit)
 """
 
 from __future__ import annotations
@@ -99,7 +107,8 @@ calibration_set:
     return calib
 
 
-def run_ppl(ckpt: Path, corpus: Path, head_bits: int | None = None) -> float:
+def run_ppl(ckpt: Path, corpus: Path, head_bits: int | None = None,
+            moe_layout: str | None = None) -> float:
     """eval_ppl CLI in-process, parsing its printed PPL."""
     import contextlib
     import io
@@ -109,12 +118,43 @@ def run_ppl(ckpt: Path, corpus: Path, head_bits: int | None = None) -> float:
     argv = [str(ckpt), str(corpus), "--window", "128", "--stride", "128"]
     if head_bits:
         argv += ["--head-bits", str(head_bits)]
+    if moe_layout:
+        argv += ["--moe-layout", moe_layout]
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         rc = eval_ppl_main(argv)
     assert rc == 0, buf.getvalue()
     last = buf.getvalue().strip().splitlines()[-1]  # "ppl=NNN tokens=..."
     return float(dict(kv.split("=") for kv in last.split())["ppl"])
+
+
+def carried_cache_nll(spec, params, ids: np.ndarray, fp8_kv: bool,
+                      window: int = 128) -> float:
+    """Mean next-token NLL scored THROUGH the KV cache (decode semantics).
+
+    The stateless eval path (serve.perplexity) recomputes attention from
+    scratch and never touches a cache, so a KV-cache quantization scheme
+    is invisible to it. Here windows are forwarded with a carried cache —
+    every window attends to (possibly fp8-quantized) cached history, the
+    exact numerics serving uses."""
+    import jax
+    import jax.numpy as jnp
+
+    from quantizers_tpu.models import KVCache
+    from quantizers_tpu.models.transformer import forward
+
+    n = (len(ids) // window) * window
+    caches = KVCache.init(spec, 1, n, fp8=fp8_kv)
+    total, count = 0.0, 0
+    for s in range(0, n, window):
+        w = jnp.asarray(ids[s:s + window][None, :], jnp.int32)
+        logits, caches = forward(params, spec, w, caches=caches)
+        logp = jax.nn.log_softmax(
+            np.asarray(logits, np.float32)[0, :-1], axis=-1)
+        tgt = ids[s + 1:s + window]
+        total += float(-logp[np.arange(len(tgt)), tgt].sum())
+        count += len(tgt)
+    return total / count
 
 
 def main() -> None:
@@ -144,23 +184,80 @@ def main() -> None:
 
         calib = write_calibration_assets(work, corpus)
 
-        # plain-RTN W4A16 control recipe (same bit-width as the AWQ recipe;
-        # the reference's QuantizationModifier dialect)
-        rtn_recipe = work / "recipe_rtn_w4a16.yaml"
-        rtn_recipe.write_text("""
+        # Local control recipes: one per modifier/scheme family, all with
+        # targets [Linear] / ignore [lm_head] so the equal-bits orderings
+        # (AWQ/GPTQ/AutoRound vs plain RTN at w4g32) compare like-for-like
+        # (the shipped recipes vary targets and group sizes).
+        def write_recipe(name: str, body: str) -> Path:
+            p = work / f"recipe_{name}.yaml"
+            p.write_text(f"""
 quant_stage:
   quant_modifiers:
+{body}""")
+            return p
+
+        W4G32 = """
+            num_bits: 4
+            type: int
+            symmetric: true
+            strategy: group
+            group_size: 32"""
+        rtn_recipe = write_recipe("rtn_w4a16", f"""
+    QuantizationModifier:
+      ignore: [lm_head]
+      config_groups:
+        group_0:
+          targets: [Linear]
+          weights:{W4G32}
+""")
+        gptq_recipe = write_recipe("gptq_w4a16", f"""
+    GPTQModifier:
+      ignore: [lm_head]
+      dampening_frac: 0.01
+      config_groups:
+        group_0:
+          targets: [Linear]
+          weights:{W4G32}
+""")
+        ar_recipe = write_recipe("ar_w4a16", f"""
+    AutoRoundModifier:
+      ignore: [lm_head]
+      iters: 100
+      config_groups:
+        group_0:
+          targets: [Linear]
+          weights:{W4G32}
+""")
+        fp8_recipe = write_recipe("fp8_block", """
     QuantizationModifier:
       ignore: [lm_head]
       config_groups:
         group_0:
           targets: [Linear]
           weights:
-            num_bits: 4
+            num_bits: 8
+            type: float
+            symmetric: true
+            strategy: block
+            block_structure: [128, 128]
+""")
+        w8a8_recipe = write_recipe("w8a8", """
+    QuantizationModifier:
+      ignore: [lm_head]
+      config_groups:
+        group_0:
+          targets: [Linear]
+          weights:
+            num_bits: 8
             type: int
             symmetric: true
-            strategy: group
-            group_size: 32
+            strategy: channel
+          input_activations:
+            num_bits: 8
+            type: int
+            symmetric: true
+            strategy: token
+            dynamic: true
 """)
 
         results = {}
@@ -172,14 +269,11 @@ quant_stage:
         results["bf16_w8head"] = run_ppl(model_dir, eval_file, head_bits=8)
         log(f"bf16+w8head ppl: {results['bf16_w8head']:.4f}")
 
-        for tag, recipe in (
-                ("w4a16_awq", f"{repo}/configs/recipes/recipe_awq_w4a16.yaml"),
-                ("w4a16_rtn", str(rtn_recipe)),
-                ("nvfp4_rtn", f"{repo}/configs/recipes/recipe_dense_nvfp4.yaml")):
+        def quantize_and_score(tag, recipe, mdl=model_dir, extra=()):
             run_cfg = work / f"run_{tag}.yaml"
             run_cfg.write_text(f"""
 model:
-  name: {model_dir}
+  name: {mdl}
 quantization:
   recipe: {recipe}
 calibration_set: {calib}
@@ -191,20 +285,97 @@ calibration_set: {calib}
                 "--max-seq-length", "128",
             ])
             assert rc == 0, f"do_oneshot failed for {tag}"
-            results[tag] = run_ppl(out, eval_file)
+            results[tag] = run_ppl(out, eval_file, **dict(extra))
             log(f"{tag} ppl: {results[tag]:.4f}")
+            return out
+
+        for tag, recipe in (
+                ("w4a16_awq", f"{repo}/configs/recipes/recipe_awq_w4a16.yaml"),
+                ("w4a16_rtn", str(rtn_recipe)),
+                ("w4a16_gptq", str(gptq_recipe)),
+                ("w4a16_ar", str(ar_recipe)),
+                ("nvfp4_rtn", f"{repo}/configs/recipes/recipe_dense_nvfp4.yaml"),
+                ("fp8_block", str(fp8_recipe)),
+                ("w8a8", str(w8a8_recipe))):
+            quantize_and_score(tag, recipe)
+
+        # KV8: the stateless eval never reads a KV cache, so score with a
+        # CARRIED cache (decode numerics) bf16-KV vs fp8-KV on the bf16
+        # model; report the nats-level delta on the same masked positions.
+        from quantizers_tpu.models import load_hf_model
+
+        spec_d, params_d = load_hf_model(model_dir)
+        from quantizers_tpu.data.simple_tokenizer import load_tokenizer
+
+        tok = load_tokenizer(str(model_dir))
+        ids_kv = np.asarray(tok(eval_file.read_text()[:8192],
+                                truncation=False)["input_ids"], np.int32)
+        nll_bf16kv = carried_cache_nll(spec_d, params_d, ids_kv, fp8_kv=False)
+        nll_fp8kv = carried_cache_nll(spec_d, params_d, ids_kv, fp8_kv=True)
+        results["kv_bf16_nll"] = nll_bf16kv
+        results["kv_fp8_nll"] = nll_fp8kv
+        results["delta_kv8_nats"] = nll_fp8kv - nll_bf16kv
+        log(f"kv8 carried-cache nll: bf16 {nll_bf16kv:.4f} fp8 {nll_fp8kv:.4f}")
+
+        # MoE section: exact-NVFP4 experts vs the w8pc fused int8-per-
+        # channel serving layout (ops.linear.moe_w8pc_layout — the TPU
+        # serving default). QTPU_PPL_MOE=0 skips.
+        if os.environ.get("QTPU_PPL_MOE", "1") == "1":
+            moe_dir = work / "tiny_moe_bf16"
+            assert make_tiny_main([str(moe_dir), "--moe", "--hidden", "96",
+                                   "--layers", "2", "--vocab", "512",
+                                   "--platform", "",
+                                   "--fit-corpus", str(corpus),
+                                   "--fit-steps", str(max(FIT_STEPS * 3 // 5, 100)),
+                                   "--fit-batch", "32", "--fit-seq", "32",
+                                   "--fit-lr", "2e-3"]) == 0
+            results["moe_bf16"] = run_ppl(moe_dir, eval_file)
+            log(f"moe_bf16 ppl: {results['moe_bf16']:.4f}")
+            out_moe = quantize_and_score(
+                "moe_nvfp4",
+                f"{repo}/configs/recipes/recipe_moe_rtn_nvfp4.yaml",
+                mdl=moe_dir)
+            results["moe_nvfp4_w8pc"] = run_ppl(out_moe, eval_file,
+                                                moe_layout="w8pc")
+            log(f"moe_nvfp4_w8pc ppl: {results['moe_nvfp4_w8pc']:.4f}")
+            results["delta_moe_nvfp4"] = (results["moe_nvfp4"]
+                                          - results["moe_bf16"])
+            results["delta_w8pc_vs_nvfp4"] = (results["moe_nvfp4_w8pc"]
+                                              - results["moe_nvfp4"])
 
         results["delta_w4a16_awq"] = results["w4a16_awq"] - results["bf16"]
         results["delta_w4a16_rtn"] = results["w4a16_rtn"] - results["bf16"]
+        results["delta_w4a16_gptq"] = results["w4a16_gptq"] - results["bf16"]
+        results["delta_w4a16_ar"] = results["w4a16_ar"] - results["bf16"]
         results["delta_nvfp4"] = results["nvfp4_rtn"] - results["bf16"]
+        results["delta_fp8_block"] = results["fp8_block"] - results["bf16"]
+        results["delta_w8a8"] = results["w8a8"] - results["bf16"]
         results["delta_w8_head"] = results["bf16_w8head"] - results["bf16"]
-        ordering_ok = (results["delta_w4a16_awq"] > 0
-                       and results["delta_w4a16_rtn"] > 0
-                       and results["delta_nvfp4"] > 0
-                       and results["w4a16_awq"] <= results["w4a16_rtn"]
-                       # w8 head is near-lossless: far below the 4-bit deltas
-                       and abs(results["delta_w8_head"])
-                       < 0.25 * results["delta_w4a16_awq"])
+        d_awq = results["delta_w4a16_awq"]
+        ordering_ok = (
+            d_awq > 0
+            and results["delta_w4a16_rtn"] > 0
+            and results["delta_w4a16_gptq"] > 0
+            and results["delta_w4a16_ar"] > 0
+            and results["delta_nvfp4"] > 0
+            # calibrated methods beat plain RTN at equal bits; AutoRound's
+            # signSGD gets noise slack (it optimizes a proxy objective)
+            and results["w4a16_awq"] <= results["w4a16_rtn"]
+            and results["w4a16_gptq"] <= results["w4a16_rtn"]
+            and results["w4a16_ar"] <= results["w4a16_rtn"] * 1.02
+            # 8-bit schemes and the w8 head are near-lossless: far below
+            # the 4-bit damage
+            and abs(results["delta_fp8_block"]) < 0.25 * d_awq
+            and abs(results["delta_w8a8"]) < 0.5 * d_awq
+            and abs(results["delta_w8_head"]) < 0.25 * d_awq
+            # fp8 KV adds < 0.01 nats on carried-cache scoring
+            and abs(results["delta_kv8_nats"]) < 0.01)
+        if "delta_w8pc_vs_nvfp4" in results:
+            # the w8pc serving requant costs a small fraction of the NVFP4
+            # quantization damage itself
+            ordering_ok = ordering_ok and (
+                abs(results["delta_w8pc_vs_nvfp4"])
+                < 0.25 * max(results["delta_moe_nvfp4"], 1e-9))
         out_json = {k: round(v, 4) for k, v in results.items()}
         out_json["ordering_ok"] = bool(ordering_ok)
         print(json.dumps(out_json))

@@ -32,6 +32,10 @@ def main(argv=None) -> int:
     p.add_argument("--head-bits", type=int, default=None,
                    help="quantize the logits head to this many bits before "
                         "scoring (serving-layout option, e.g. 8)")
+    p.add_argument("--moe-layout", choices=["w8pc"], default=None,
+                   help="apply a MoE expert serving layout before scoring "
+                        "(w8pc = fused int8-per-channel requant, the TPU "
+                        "serving default — quantifies its quality cost)")
     p.add_argument("--platform", default=None)
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO, force=True)
@@ -63,6 +67,12 @@ def main(argv=None) -> int:
 
         params = quantize_lm_head(spec, params, num_bits=args.head_bits)
         logger.info("quantized logits head to w%d-channel", args.head_bits)
+
+    if args.moe_layout == "w8pc":
+        from ..ops.linear import moe_w8pc_layout
+
+        params = moe_w8pc_layout(params)
+        logger.info("applied the w8pc fused MoE expert serving layout")
 
     tokenizer = load_tokenizer(str(ckpt))
     text = Path(args.text_file).read_text()

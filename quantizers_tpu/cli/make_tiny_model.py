@@ -15,6 +15,10 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("out_dir")
     p.add_argument("--moe", action="store_true")
+    p.add_argument("--mla", action="store_true",
+                   help="MLA attention (with --moe: the MiniMax/DeepSeek-"
+                        "class MLA+MoE shape — shared experts, sigmoid "
+                        "router, first layer dense)")
     p.add_argument("--hidden", type=int, default=64)
     p.add_argument("--layers", type=int, default=2)
     p.add_argument("--vocab", type=int, default=512)
@@ -38,7 +42,7 @@ def main(argv=None) -> int:
     from ..models import ModelSpec, init_params
     from ..models.loader import save_hf_model
 
-    spec = ModelSpec.tiny(moe=args.moe, hidden_size=args.hidden,
+    spec = ModelSpec.tiny(moe=args.moe, mla=args.mla, hidden_size=args.hidden,
                           num_layers=args.layers, vocab_size=args.vocab)
     params = init_params(spec, jax.random.PRNGKey(args.seed))
     fitted = ""
@@ -55,7 +59,9 @@ def main(argv=None) -> int:
                         lr=args.fit_lr, seed=args.seed)
         fitted = f"fitted ({args.fit_steps} steps) "
     save_hf_model(spec, params, args.out_dir)
-    print(f"wrote tiny {fitted}{'MoE ' if args.moe else ''}model to {args.out_dir}")
+    kind = ("MLA+MoE " if (args.moe and args.mla) else
+            "MoE " if args.moe else "MLA " if args.mla else "")
+    print(f"wrote tiny {fitted}{kind}model to {args.out_dir}")
     return 0
 
 

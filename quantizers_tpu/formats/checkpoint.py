@@ -101,19 +101,48 @@ def _module_prefixes(keys: List[str]) -> Dict[str, List[str]]:
     return groups
 
 
+#: Mixtral/MiniMax expert-path dialect (mirrors oneshot.sites._EXPERT_ALIASES):
+#: a config whose targets use ``block_sparse_moe...w1/w2/w3`` (the reference's
+#: MiniMax recipes) must still resolve against our native on-disk naming
+#: ``mlp.experts.N.gate/up/down_proj`` — and vice versa when reading a real
+#: MiniMax checkpoint with a native-dialect config.
+_EXPERT_PATH_ALIASES = (
+    (".mlp.experts.", ".block_sparse_moe.experts.",
+     {"gate_proj": "w1", "up_proj": "w3", "down_proj": "w2"}),
+    (".block_sparse_moe.experts.", ".mlp.experts.",
+     {"w1": "gate_proj", "w3": "up_proj", "w2": "down_proj"}),
+)
+
+
+def _alias_prefixes(prefix: str) -> List[str]:
+    out = [prefix]
+    for container, alt_container, names in _EXPERT_PATH_ALIASES:
+        if container in prefix:
+            leaf = prefix.rsplit(".", 1)[-1]
+            alt = names.get(leaf)
+            if alt is not None:
+                out.append(prefix.replace(container, alt_container)
+                           .rsplit(".", 1)[0] + "." + alt)
+    return out
+
+
 def _scheme_for(prefix: str, groups: Dict[str, QuantScheme], ignore: List[str],
                 stored: Optional[List[str]] = None) -> Optional[QuantScheme]:
     """Resolve the scheme for a module. In mixed-precision checkpoints
     several groups may target the same module type (reference
     ``recombine_weights_MiniMax-M2.1.py:75-138`` merges FP8 + INT4 groups),
     so when the on-disk parameter names are known the candidates are
-    filtered by *consistency with what is actually stored*."""
+    filtered by *consistency with what is actually stored*. Expert paths
+    are matched under both the native and the Mixtral/MiniMax w1/w2/w3
+    dialect (:data:`_EXPERT_PATH_ALIASES`)."""
     from ..core.scheme import is_ignored, match_targets
 
-    if is_ignored(prefix, ignore):
+    paths = _alias_prefixes(prefix)
+    if any(is_ignored(p, ignore) for p in paths):
         return None
     candidates = [s for s in groups.values()
-                  if match_targets(prefix, "Linear", list(s.targets))]
+                  if any(match_targets(p, "Linear", list(s.targets))
+                         for p in paths)]
     if not candidates:
         return None
     if stored and len(candidates) > 1:

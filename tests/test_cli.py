@@ -294,3 +294,66 @@ calibration_set: {repo_root}/configs/calibration_sets/test-calibrate_quick.yaml
                         max_new_tokens=4)
         assert toks.shape == (1, 4)
         assert np.isfinite(toks).all()
+
+
+class TestMiniMaxMixedPrecEndToEnd:
+    """Flagship coverage config (BASELINE.md row 5): the MiniMax-class
+    AWQ mixed-precision recipe — FP8 attention + INT4 experts in ONE
+    modifier with four smooth/balance mappings, targets in the
+    Mixtral/MiniMax ``block_sparse_moe...w1/w2/w3`` dialect — run
+    END-TO-END (oneshot -> validate -> serve) on a tiny MLA+MoE model
+    (shared experts, sigmoid router, first layer dense: the
+    MiniMax-M2.1/DeepSeek architecture family). Round-3 verdict weak #6.
+
+    Reference: configs/quantize_MiniMax-M2.1-AWQ-MixedPrec.yaml,
+    scripts/quantization_multiple_modifiers.py:58-109."""
+
+    def test_oneshot_validate_serve(self, tmp_path, repo_root, capsys):
+        mm_dir = tmp_path / "tiny_mla_moe"
+        assert make_tiny_main([str(mm_dir), "--moe", "--mla", "--vocab",
+                               "300", "--platform", ""]) == 0
+        run_cfg = tmp_path / "run.yaml"
+        run_cfg.write_text(f"""
+model:
+  name: {mm_dir}
+quantization:
+  recipe: {repo_root}/configs/recipes/recipe_minimax_awq_mixedprec.yaml
+calibration_set: {repo_root}/configs/calibration_sets/test-calibrate_quick.yaml
+""")
+        out = tmp_path / "out_mm"
+        rc = do_oneshot_main([
+            "--config", str(run_cfg), "--output", str(out),
+            "--cache-dir", str(tmp_path / "cache"),
+            "--max-seq-length", "64",
+        ])
+        assert rc == 0
+        cfg = json.loads((out / "config.json").read_text())
+        groups = cfg["quantization_config"]["config_groups"]
+        bits = {(g["weights"]["num_bits"], g["weights"]["type"])
+                for g in groups.values()}
+        assert bits == {(8, "float"), (4, "int")}  # mixed precision
+        assert validate_main([str(out)]) == 0
+
+        # the emitted artifact loads back with the mixed schemes applied:
+        # experts int4 (matched through the w1/w2/w3 alias dialect),
+        # attention o_proj fp8 (the only MLA projection the reference's
+        # q/k/v/o regex matches), MLA low-rank projections left bf16
+        from quantizers_tpu.models.loader import load_compressed_model
+
+        spec, params = load_compressed_model(out)
+        assert spec.is_mla and spec.is_moe and spec.num_shared_experts == 1
+        moe_layer = params["layers"][1]  # layer 0 is dense (mlp_only_layers)
+        assert moe_layer["moe"]["gate_proj"].kind == "w4"
+        assert moe_layer["moe"]["down_proj"].kind == "w4"
+        assert moe_layer["o_proj"].kind == "fp8"
+        assert moe_layer["q_a_proj"].kind == "dense"
+        # shared experts are NOT block_sparse_moe.experts.N paths
+        assert moe_layer["moe"]["shared_experts"]["gate_proj"].kind == "dense"
+
+        from quantizers_tpu.cli.serve import main as serve_main
+
+        rc = serve_main([str(out), "--prompt", "hello minimax",
+                         "--max-new-tokens", "4", "--max-len", "64",
+                         "--head-bits", "8"])
+        assert rc == 0
+        assert capsys.readouterr().out.strip()

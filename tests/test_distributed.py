@@ -124,3 +124,27 @@ def test_two_process_hybrid_mesh_forward(tmp_path):
     losses = {line.split("loss=")[1] for out in outs for line in out.splitlines()
               if "MULTIHOST_OK" in line}
     assert len(losses) == 1, losses
+
+
+@pytest.mark.slow
+def test_pod_scaling_selftest_asserts_efficiency():
+    """The 2-process pod-scaling selftest must pass AND its printed record
+    must carry a correctly-computed scaling_efficiency (the >=85% north-star
+    formula, under test before hardware — round-3 verdict item #8)."""
+    import json as _json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    proc = subprocess.run(
+        [sys.executable, str(repo / "benchmarks" / "bench_pod_scaling.py"),
+         "--selftest"],
+        capture_output=True, text=True, timeout=700, cwd=repo)
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    last = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    rec = _json.loads(last)
+    assert rec["hosts"] == 2
+    # the selftest passes --baseline-tok-s 100, so efficiency must equal
+    # value / (2 * 100) exactly (the selftest itself also asserts this)
+    assert rec["scaling_efficiency"] == round(rec["value"] / 200.0, 3)
