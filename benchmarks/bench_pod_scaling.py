@@ -125,17 +125,12 @@ def run_bench(args) -> None:
         print(json.dumps(out), flush=True)
 
 
-def selftest() -> int:
-    """Two local CPU processes, 4 virtual devices each — the exact code
-    path with real process boundaries."""
+def _selftest_attempt(baseline: float) -> tuple:
+    """One 2-process run. Returns (launch_ok, checks_ok, record_line)."""
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
     port = s.getsockname()[1]
     s.close()
-    # a known 1-host baseline exercises the scaling_efficiency arithmetic
-    # itself (the >=85% north-star formula: tok_s / (hosts * baseline)) so
-    # the reporting path is under test before real hardware ever runs it
-    baseline = 100.0
     procs = []
     for pid in range(2):
         env = dict(os.environ)
@@ -151,24 +146,53 @@ def selftest() -> int:
              "--baseline-tok-s", str(baseline)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True))
-    ok = True
-    for pid, p in enumerate(procs):
-        out, _ = p.communicate(timeout=600)
-        log(f"--- selftest process {pid} (rc={p.returncode}) ---\n{out}")
-        ok &= p.returncode == 0
-        if pid == 0:
-            last = [ln for ln in out.splitlines() if ln.startswith("{")]
-            ok &= bool(last)
-            if last:
-                rec = json.loads(last[-1])
-                ok &= rec["hosts"] == 2
+    launch_ok, checks_ok, record = True, True, None
+    try:
+        for pid, p in enumerate(procs):
+            out, _ = p.communicate(timeout=600)
+            log(f"--- selftest process {pid} (rc={p.returncode}) ---\n{out}")
+            launch_ok &= p.returncode == 0
+            if pid == 0:
+                last = [ln for ln in out.splitlines() if ln.startswith("{")]
+                if not last:
+                    checks_ok = False
+                    continue
+                record = last[-1]
+                rec = json.loads(record)
+                checks_ok &= rec["hosts"] == 2
                 eff = rec.get("scaling_efficiency")
                 expect = round(rec["value"] / (2 * baseline), 3)
-                ok &= eff is not None and abs(eff - expect) < 1e-9
                 if eff is None or abs(eff - expect) >= 1e-9:
                     log(f"selftest: scaling_efficiency wrong: {eff} != {expect}")
-                print(last[-1])
-    return 0 if ok else 1
+                    checks_ok = False
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    return launch_ok, checks_ok, record
+
+
+def selftest() -> int:
+    """Two local CPU processes, 4 virtual devices each — the exact code
+    path with real process boundaries.
+
+    Launch failures (coordinator-connect timeout under host load, the
+    pick-port-then-bind race) get ONE retry with a fresh port; failures of
+    the scaling_efficiency arithmetic checks never retry — those are bugs,
+    not weather."""
+    # a known 1-host baseline exercises the scaling_efficiency arithmetic
+    # itself (the >=85% north-star formula: tok_s / (hosts * baseline)) so
+    # the reporting path is under test before real hardware ever runs it
+    baseline = 100.0
+    for attempt in range(2):
+        launch_ok, checks_ok, record = _selftest_attempt(baseline)
+        if launch_ok:
+            if record is not None:
+                print(record)
+            return 0 if checks_ok else 1
+        log(f"selftest attempt {attempt}: launch failed"
+            + (", retrying with a fresh port" if attempt == 0 else ""))
+    return 1
 
 
 def main() -> int:

@@ -77,6 +77,15 @@ class QuantizationArgs:
         if self.type == QuantType.INT and not (2 <= self.num_bits <= 8):
             raise ValueError(f"int quantization supports 2..8 bits, got {self.num_bits}")
 
+    def __hash__(self) -> int:
+        # the generated hash would choke on the observer_kwargs dict; args
+        # must stay hashable (they ride as jit static_argnames, e.g. the
+        # AWQ α-search program cache in oneshot/awq.py:_search_losses)
+        return hash((self.num_bits, self.type, self.symmetric, self.strategy,
+                     self.group_size, self.block_structure, self.dynamic,
+                     self.observer, tuple(sorted(self.observer_kwargs.items())),
+                     self.actorder, self.scale_dtype))
+
     # ---- value range -----------------------------------------------------
     @property
     def qrange(self) -> Tuple[float, float]:

@@ -34,6 +34,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import time
+from functools import partial
 from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple
 
 import jax
@@ -119,6 +120,32 @@ def _capture_layer(layer, spec, idx, hiddens, positions, moe_all_experts):
     out, _ = apply_layer(layer, spec, idx, hiddens, positions, None,
                          moe_all_experts, cap)
     return out, cap
+
+
+# Layer forwards are compiled ONCE per (spec, layer-kind, shapes) — not once
+# per layer. ``apply_layer`` consumes ``layer_idx`` only through
+# ``spec.layer_is_moe`` (a Python-level branch), so every layer of the same
+# kind shares one executable when called with its kind's *canonical* index.
+# A 36-layer Qwen3 run compiles 2 programs (capture + propagate) instead of
+# 72 — compile time dominated early-round calibration wall-clock.
+@partial(jax.jit, static_argnames=("spec", "canon_idx", "moe_all"))
+def _capture_jit(layer, spec, canon_idx, h, pos, moe_all):
+    return _capture_layer(layer, spec, canon_idx, h, pos, moe_all)
+
+
+@partial(jax.jit, static_argnames=("spec", "canon_idx", "moe_all"))
+def _propagate_jit(layer, spec, canon_idx, h, pos, moe_all):
+    return apply_layer(layer, spec, canon_idx, h, pos, None, moe_all)[0]
+
+
+def _canonical_layer_idx(spec: ModelSpec, layer_idx: int) -> int:
+    """First layer index with the same MoE-ness as ``layer_idx`` — the jit
+    cache key stand-in (numerics are identical for same-kind layers)."""
+    kind = spec.layer_is_moe(layer_idx)
+    for i in range(layer_idx + 1):
+        if spec.layer_is_moe(i) == kind:
+            return i
+    return layer_idx
 
 
 def _tree_to_host(tree):
@@ -247,6 +274,7 @@ def oneshot(
 
     records: Dict[str, CompressedParam] = {}
     extra_tensors: Dict[str, np.ndarray] = {}
+    stage_s = {"capture_s": 0.0, "solve_s": 0.0, "propagate_s": 0.0}
 
     # FP8 KV-cache calibration (reference `main_seed-oss-fp8-kv8.py:168-202`):
     # track per-layer k/v absmax during the capture pass, emit k_scale/v_scale.
@@ -295,15 +323,14 @@ def oneshot(
             states[id(mod)] = mod.begin_layer(ctx, matched)
             want_capture = want_capture or mod.wants_capture_for(matched)
 
+        canon_idx = _canonical_layer_idx(spec, li)
+
         # ---- capture pass -------------------------------------------------
         if (owned or observe_only or kv_scheme is not None) and want_capture and batches:
-            cap_fn = jax.jit(
-                lambda lyr, h, pos: _capture_layer(lyr, spec, li, h, pos,
-                                                   moe_calibrate_all_experts),
-                static_argnums=(),
-            )
+            t_cap = time.time()
             for bi, (h, pos, mask) in enumerate(zip(hiddens, positions, masks)):
-                _, cap = cap_fn(layer, h, pos)
+                _, cap = _capture_jit(layer, spec, canon_idx, h, pos,
+                                      moe_calibrate_all_experts)
                 # explicit batch ordinal for per-batch dedup in modifiers
                 # that observe one shared input for several sites (id() of
                 # the capture dict is NOT stable: values recycle after GC)
@@ -317,8 +344,10 @@ def oneshot(
                     vmax = float(jnp.max(jnp.abs(cap["v_cache"].astype(jnp.float32))))
                     kv_absmax[li] = (max(kv_absmax[li][0], kmax),
                                      max(kv_absmax[li][1], vmax))
+            stage_s["capture_s"] += time.time() - t_cap
 
         # ---- layer-level transforms (AWQ smoothing), then compress ---------
+        t_solve = time.time()
         for mod in modifiers:
             matched = per_mod.get(id(mod), [])
             if matched:
@@ -328,17 +357,22 @@ def oneshot(
             site.set(res.new_linear)
             records.update(res.records)
             extra_tensors.update(res.extra_tensors)
+        stage_s["solve_s"] += time.time() - t_solve
 
         # ---- propagate ----------------------------------------------------
         if propagate and batches:
-            prop = jax.jit(lambda lyr, h, pos: apply_layer(
-                lyr, spec, li, h, pos, None, moe_calibrate_all_experts)[0])
+            t_prop = time.time()
             if host_mode:
                 # one batch resident at a time; outputs return to host RAM
-                hiddens = [np.asarray(prop(layer, h, pos))
+                hiddens = [np.asarray(_propagate_jit(
+                               layer, spec, canon_idx, h, pos,
+                               moe_calibrate_all_experts))
                            for h, pos in zip(hiddens, positions)]
             else:
-                hiddens = [prop(layer, h, pos) for h, pos in zip(hiddens, positions)]
+                hiddens = [_propagate_jit(layer, spec, canon_idx, h, pos,
+                                          moe_calibrate_all_experts)
+                           for h, pos in zip(hiddens, positions)]
+            stage_s["propagate_s"] += time.time() - t_prop
 
         if host_mode:
             # quantized layer leaves HBM; params keeps the host copy
@@ -359,7 +393,7 @@ def oneshot(
                 [max(vmax / divisor, 1e-10)], np.float32)
 
     # lm_head (rarely targeted; reference recipes ignore it)
-    stats = {"total_s": time.time() - t0}
+    stats = {"total_s": time.time() - t0, **stage_s}
     return OneshotResult(
         params=params,
         records=records,

@@ -216,42 +216,87 @@ def gptq_quantize(w_nk: jnp.ndarray, H: jnp.ndarray, args: QuantizationArgs,
 # modifier
 # ---------------------------------------------------------------------------
 
+@partial(jax.jit, static_argnames=("masked",), donate_argnums=(0,))
+def _hess_accum(H: jnp.ndarray, x: jnp.ndarray, mask: jnp.ndarray,
+                masked: bool) -> jnp.ndarray:
+    """H += 2·XᵀX in ONE device dispatch (donated accumulator — no extra
+    HBM buffer). f32 accumulation on the MXU."""
+    x2 = x.astype(jnp.float32).reshape(-1, x.shape[-1])
+    if masked:
+        m = (mask.reshape(-1) > 0).astype(jnp.float32)
+        x2 = x2 * m[:, None]
+    # HIGHEST: true-f32 MXU passes — the default bf16 matmul precision is
+    # exactly the TF32-style loss the reference rejects for quantization
+    # statistics (docs/quantization_tips_and_tricks.md:6-15)
+    return H + 2.0 * jnp.matmul(x2.T, x2, precision=jax.lax.Precision.HIGHEST)
+
+
+@partial(jax.jit, static_argnames=("masked",), donate_argnums=(0,))
+def _hess_accum_experts(H: jnp.ndarray, x: jnp.ndarray, mask: jnp.ndarray,
+                        masked: bool) -> jnp.ndarray:
+    """Per-expert Hessians (E, C, C) += 2·X_eᵀX_e for the whole expert
+    stack in one einsum dispatch (x: (E, N, C)); padding rows masked out."""
+    xf = x.astype(jnp.float32)
+    if masked:
+        m = (mask.reshape(-1) > 0).astype(jnp.float32)
+        xf = xf * m[None, :, None]
+    return H + 2.0 * jnp.einsum("enc,end->ecd", xf, xf,
+                                precision=jax.lax.Precision.HIGHEST)
+
+
 class GPTQModifier(Modifier):
     name = "GPTQModifier"
     needs_capture = True
 
     def begin_layer(self, ctx: LayerCtx, matched) -> Any:
         state = super().begin_layer(ctx, matched)
-        state["H"] = {}  # prefix -> (K,K) device array
-        state["n"] = {}
+        state["H"] = {}  # canonical prefix -> (K,K) | (E,C,C) device array
+        state["alias"] = {}  # site prefix -> canonical H key
+        state["_seen"] = {}  # (batch_idx, id(x)) -> canonical prefix
         return state
 
     def observe(self, state, site: LinearSite, x_in, mask, capture) -> None:
         super().observe(state, site, x_in, mask, capture)
-        x = x_in.astype(jnp.float32)
-        if x.ndim == 3 and not site.is_expert:
-            x = x.reshape(-1, x.shape[-1])
-        if site.is_expert and x.ndim == 3:
-            # (E, N, C) expert inputs → one Hessian per expert, keyed prefix/e
-            for e in range(x.shape[0]):
-                self._accum(state, site.expert_prefix(e), x[e], mask)
+        # Sites fed by the SAME tensor (q/k/v share the post-norm hidden,
+        # gate/up likewise) share one Hessian: X is identical, so accumulate
+        # once and alias. id() is stable here — the capture dict keeps every
+        # batch's arrays alive for the duration of the observe sweep.
+        bi = capture.get("_batch_idx", None)
+        xid = (bi, id(x_in))
+        canon = state["_seen"].get(xid)
+        if canon is not None and canon != site.prefix \
+                and state["alias"].get(canon) == canon:
+            state["alias"][site.prefix] = canon
             return
-        if mask is not None:
-            m = mask.reshape(-1).astype(jnp.float32)
-            if m.shape[0] == x.shape[0]:
-                x = x * m[:, None]
-        self._accum(state, site.prefix, x, None)
+        if state["alias"].get(site.prefix, site.prefix) != site.prefix:
+            # already aliased to another site in an earlier batch
+            return
+        state["_seen"][xid] = site.prefix
+        state["alias"][site.prefix] = site.prefix
 
-    def _accum(self, state, key: str, x2: jnp.ndarray, mask) -> None:
-        if mask is not None:
-            m = mask.reshape(-1).astype(jnp.float32)
-            if m.shape[0] == x2.shape[0]:
-                x2 = x2 * m[:, None]
-        h = 2.0 * (x2.T @ x2)
-        if key in state["H"]:
-            state["H"][key] = state["H"][key] + h
-        else:
-            state["H"][key] = h
+        if site.is_expert and x_in.ndim == 3:
+            # (E, N, C) expert inputs → stacked per-expert Hessians
+            E, N, C = x_in.shape
+            masked = mask is not None and int(np.prod(mask.shape)) == N
+            H = state["H"].get(site.prefix)
+            if H is None:
+                H = jnp.zeros((E, C, C), jnp.float32)
+            state["H"][site.prefix] = _hess_accum_experts(
+                H, x_in, jnp.asarray(mask) if masked else jnp.zeros((1,)),
+                masked=masked)
+            return
+        K = x_in.shape[-1]
+        rows = int(np.prod(x_in.shape[:-1]))
+        masked = mask is not None and int(np.prod(mask.shape)) == rows
+        H = state["H"].get(site.prefix)
+        if H is None:
+            H = jnp.zeros((K, K), jnp.float32)
+        state["H"][site.prefix] = _hess_accum(
+            H, x_in, jnp.asarray(mask) if masked else jnp.zeros((1,)),
+            masked=masked)
+
+    def _H_for(self, state, key: str):
+        return state["H"].get(state["alias"].get(key, key))
 
     def compress(self, state, site: LinearSite, group: str,
                  scheme: QuantScheme) -> SiteResult:
@@ -261,17 +306,26 @@ class GPTQModifier(Modifier):
         if site.is_expert:
             el = site.get()
             w = expert_weights_enk(el)
+            # (E, C, C) stacked per-expert Hessians (down_proj: each expert's
+            # activations differ), or (C, C) shared (gate/up: the capture
+            # feeds every expert the same pre-routing hidden h2 —
+            # models/moe.py:327 — so one Hessian is exact for all of them),
+            # or None (no calibration batches → identity ≡ RTN).
+            Hs = self._H_for(state, site.prefix)
             qts = []
             for e in range(el.num_experts):
-                H = state["H"].get(site.expert_prefix(e))
-                if H is None:
+                if Hs is None:
                     H = jnp.eye(w.shape[-1], dtype=jnp.float32)
+                elif Hs.ndim == 3:
+                    H = Hs[e]
+                else:
+                    H = Hs
                 qt, _ = gptq_quantize(w[e], H, args, bs, damp)
                 qts.append(qt)
             res = build_site_result(site, args, group, qt_per_expert=qts,
                                     act_args=scheme.input_activations)
         else:
-            H = state["H"].get(site.prefix)
+            H = self._H_for(state, site.prefix)
             w = weight_nk(site.get())
             if H is None:
                 logger.warning("GPTQ: no activations for %s; falling back to RTN", site.prefix)

@@ -493,3 +493,138 @@ class TestHostOffload:
         # whole model on device would need > 60 GB — streaming is required
         total = est["layer_bytes"] * spec.num_layers + est["embed_bytes"]
         assert total > 55e9
+
+
+class TestObservePathEfficiency:
+    """Round-4 TPU-side observe/compile optimizations: activation stats
+    reduce ON DEVICE (AWQ), shared-input sites share one Hessian (GPTQ),
+    and same-kind layers share one compiled capture/propagate program."""
+
+    def test_awq_observe_stats_matches_numpy(self):
+        from quantizers_tpu.oneshot.awq import _observe_stats
+
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(2, 8, 16)).astype(np.float32)
+        mask = np.ones((2, 8), np.float32)
+        mask[1, 5:] = 0.0  # 13 valid rows
+        sum_abs, count, rows = _observe_stats(
+            jnp.asarray(x), jnp.asarray(mask), take=5, masked=True)
+        x2 = x.reshape(-1, 16)
+        valid = x2[mask.reshape(-1) > 0]
+        np.testing.assert_allclose(np.asarray(sum_abs),
+                                   np.abs(valid).sum(0), rtol=1e-5)
+        assert float(count) == 13.0
+        # the 5 sampled rows are valid rows, evenly spread over the 13
+        expect = valid[(np.arange(5) * 13 // 5)]
+        np.testing.assert_allclose(np.asarray(rows), expect, rtol=1e-6)
+
+    def test_gptq_hessian_shared_across_same_input_sites(self, dense):
+        from quantizers_tpu.oneshot.gptq import GPTQModifier
+        from quantizers_tpu.oneshot.modifiers import LayerCtx
+        from quantizers_tpu.oneshot.sites import layer_sites
+
+        spec, params = dense
+        layer = _clone(params)["layers"][0]
+        sites = {s.name: s for s in layer_sites(spec, 0, layer)}
+        recipe = _recipe("GPTQModifier")
+        mspec = recipe.modifiers[0]
+        scheme = next(iter(mspec.config_groups.values()))
+        mod = GPTQModifier(mspec)
+        ctx = LayerCtx(spec=spec, layer_idx=0, layer=layer,
+                       sites=list(sites.values()))
+        matched = [(sites[n], "group_0", scheme) for n in ("q_proj", "k_proj", "v_proj")]
+        state = mod.begin_layer(ctx, matched)
+
+        x = jnp.asarray(np.random.default_rng(0).normal(
+            size=(2, 4, spec.hidden_size)).astype(np.float32))
+        cap = {"_batch_idx": 0}
+        for n in ("q_proj", "k_proj", "v_proj"):
+            mod.observe(state, sites[n], x, None, cap)
+        # ONE Hessian accumulated, both others alias to it
+        assert len(state["H"]) == 1
+        canon = next(iter(state["H"]))
+        for n in ("q_proj", "k_proj", "v_proj"):
+            assert state["alias"][sites[n].prefix] == canon
+        x2 = np.asarray(x, np.float64).reshape(-1, spec.hidden_size)
+        np.testing.assert_allclose(np.asarray(state["H"][canon]),
+                                   2.0 * x2.T @ x2, rtol=1e-4, atol=1e-3)
+        # a second batch with a fresh array keeps accumulating, not aliasing
+        x_b1 = x + 1.0
+        cap = {"_batch_idx": 1}
+        for n in ("q_proj", "k_proj", "v_proj"):
+            mod.observe(state, sites[n], x_b1, None, cap)
+        assert len(state["H"]) == 1
+        x2b = np.asarray(x_b1, np.float64).reshape(-1, spec.hidden_size)
+        np.testing.assert_allclose(np.asarray(state["H"][canon]),
+                                   2.0 * (x2.T @ x2 + x2b.T @ x2b),
+                                   rtol=1e-4, atol=1e-3)
+
+    def test_gptq_moe_expert_hessians(self, moe):
+        """GPTQ on a MoE model: gate/up expert sites capture the SHARED 2-D
+        pre-routing hidden (models/moe.py — one Hessian, exact for every
+        expert; previously silently fell back to identity), down_proj gets
+        stacked per-expert (E, C, C) Hessians with padding rows masked."""
+        from quantizers_tpu.oneshot.gptq import GPTQModifier
+
+        spec, params0 = moe
+        params = _clone(params0)
+        ids = jnp.array([[1, 2, 3, 4, 5, 6, 7, 8]], dtype=jnp.int32)
+        ref = _logits(spec, params0, ids)
+        res = oneshot(spec, params, _recipe("GPTQModifier"), _tiny_batches(spec),
+                      moe_calibrate_all_experts=True)
+        # every expert weight quantized
+        E = spec.num_experts
+        n_expert_records = sum(1 for k in res.records if "experts" in k)
+        assert n_expert_records == spec.num_layers * 3 * E
+        out = _logits(spec, res.params, ids)
+        rel = np.abs(ref - out).mean() / (np.abs(ref).mean() + 1e-9)
+        assert np.isfinite(rel) and rel < 0.3, rel
+
+        # internals: shared 2-D Hessian for gate/up (aliased), 3-D for down
+        from quantizers_tpu.oneshot.modifiers import LayerCtx
+        from quantizers_tpu.oneshot.sites import layer_sites
+
+        layer = _clone(params0)["layers"][0]
+        sites = {s.name: s for s in layer_sites(spec, 0, layer)}
+        mspec = _recipe("GPTQModifier").modifiers[0]
+        scheme = next(iter(mspec.config_groups.values()))
+        mod = GPTQModifier(mspec)
+        expert_names = [n for n, s_ in sites.items() if s_.is_expert]
+        matched = [(sites[n], "group_0", scheme) for n in expert_names]
+        ctx = LayerCtx(spec=spec, layer_idx=0, layer=layer,
+                       sites=list(sites.values()))
+        state = mod.begin_layer(ctx, matched)
+        rng = np.random.default_rng(0)
+        D = spec.hidden_size
+        Fe = spec.moe_intermediate_size or spec.intermediate_size
+        h2 = jnp.asarray(rng.normal(size=(8, D)).astype(np.float32))
+        down_in = jnp.asarray(rng.normal(size=(E, 8, Fe)).astype(np.float32))
+        mask = np.ones((2, 4), np.float32)
+        mask[1, 2:] = 0.0  # 6 valid rows
+        cap = {"_batch_idx": 0}
+        mod.observe(state, sites["gate_proj"], h2, jnp.asarray(mask), cap)
+        mod.observe(state, sites["up_proj"], h2, jnp.asarray(mask), cap)
+        mod.observe(state, sites["down_proj"], down_in, jnp.asarray(mask), cap)
+        H_gu = mod._H_for(state, sites["gate_proj"].prefix)
+        assert H_gu is not None and H_gu.shape == (D, D)
+        assert mod._H_for(state, sites["up_proj"].prefix) is H_gu  # aliased
+        H_dn = mod._H_for(state, sites["down_proj"].prefix)
+        assert H_dn.shape == (E, Fe, Fe)
+        # masking: padding rows contribute nothing
+        x_np = np.asarray(down_in, np.float64)[0][mask.reshape(-1) > 0]
+        np.testing.assert_allclose(np.asarray(H_dn[0]), 2.0 * x_np.T @ x_np,
+                                   rtol=1e-4, atol=1e-3)
+
+    def test_layer_forwards_compile_once_per_kind(self, dense):
+        from quantizers_tpu.oneshot.engine import _capture_jit, _propagate_jit
+
+        spec, params = dense  # uniform dense layers
+        _capture_jit._clear_cache()
+        _propagate_jit._clear_cache()
+        # fixed-length samples -> one shape bucket
+        samples = [list(range(1, 17))] * 4
+        batches = make_batches(samples, max_seq_length=16, batch_size=2,
+                               pad_to_multiple=8)
+        oneshot(spec, _clone(params), _recipe("AWQModifier"), batches)
+        assert _capture_jit._cache_size() == 1, _capture_jit._cache_size()
+        assert _propagate_jit._cache_size() == 1, _propagate_jit._cache_size()
