@@ -31,11 +31,17 @@ Prints ONE JSON line like bench.py.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import sys
 import time
 
 import numpy as np
+
+# surface the engine's per-layer INFO progress lines — a 36-layer TPU
+# calibration run is minutes-long and should not look hung
+logging.basicConfig(level=logging.INFO, stream=sys.stderr,
+                    format="%(asctime)s %(name)s: %(message)s")
 
 
 def log(*a):

@@ -28,7 +28,7 @@ import numpy as np
 from ..core.numerics import fake_quantize
 from ..core.scheme import QuantScheme
 from ..models.moe import ExpertLinears
-from ..ops.linear import QuantLinear, dense_linear
+from ..ops.linear import QuantLinear
 from ..recipes import DEFAULT_AWQ_MAPPINGS, AWQMapping
 from .modifiers import LayerCtx, Modifier, SiteResult, build_site_result, weight_nk, expert_weights_enk
 from .sites import LinearSite
@@ -73,13 +73,15 @@ def _observe_stats(x, mask, take: int, masked: bool):
 
 
 class _MappingState:
-    """Streaming stats for one smooth→balance group. Reductions run on
-    device (:func:`_observe_stats`); only (K,)-vectors and the ≤512-row
-    search sample ever reach the host."""
+    """Streaming stats for one smooth→balance group. Reductions run AND
+    accumulate on device (:func:`_observe_stats`); ``update`` performs zero
+    host syncs — a device→host sync per observe over a tunneled TPU costs
+    more than the reduction itself. Only pre_compress reads the (K,)-mean
+    and the ≤512-row search sample back."""
 
     def __init__(self) -> None:
         self.sum_abs: Optional[jnp.ndarray] = None  # (K,) device
-        self.count: float = 0.0
+        self.count: Optional[jnp.ndarray] = None  # () device f32
         self.rows: List[jnp.ndarray] = []  # subsampled input rows (r, K)
         self.rows_kept = 0
 
@@ -93,22 +95,37 @@ class _MappingState:
         sum_abs, count, rows = _observe_stats(
             jnp.asarray(x), jnp.asarray(mask) if masked else jnp.zeros((1,)),
             take=max(take, 1), masked=masked)
-        cnt = float(count)
-        if cnt == 0.0:  # fully-masked batch: nothing valid to learn from
-            return
-        self.sum_abs = sum_abs if self.sum_abs is None else self.sum_abs + sum_abs
-        self.count += cnt
+        if self.sum_abs is None:
+            self.sum_abs, self.count = sum_abs, count
+        else:
+            self.sum_abs = self.sum_abs + sum_abs
+            self.count = self.count + count
         if take > 0:
+            # a fully-masked batch would contribute padding-token rows here;
+            # make_batches guarantees ≥1 valid token per sample, and the
+            # sampler clips to the valid span whenever one exists
             self.rows.append(rows)
             self.rows_kept += take
 
+    def count_f(self) -> float:
+        """Total valid rows (ONE host sync; call only at solve time)."""
+        return 0.0 if self.count is None else float(self.count)
+
     @property
     def x_mean(self) -> np.ndarray:
-        return np.asarray(self.sum_abs) / max(self.count, 1.0)
+        return np.asarray(self.sum_abs) / max(self.count_f(), 1.0)
 
-    def x_rows(self) -> np.ndarray:
-        return (np.concatenate([np.asarray(r) for r in self.rows], axis=0)
-                if self.rows else np.zeros((0, 1)))
+    def x_rows(self) -> jnp.ndarray:
+        return (jnp.concatenate(self.rows, axis=0)
+                if self.rows else jnp.zeros((0, 1)))
+
+
+@jax.jit
+def _col_abs_mean(ws):
+    """Row-weighted per-column |w| mean over a tuple of (N_i, K) weights."""
+    total = sum(jnp.sum(jnp.abs(w.astype(jnp.float32)), axis=0) for w in ws)
+    n_rows = sum(w.shape[0] for w in ws)
+    return total / n_rows
 
 
 def _candidate_scale(ratio, x_mean, w_mean, duo_scaling: bool):
@@ -217,7 +234,7 @@ class AWQModifier(Modifier):
         scheme_by_prefix = {s.prefix: sch for s, _, sch in matched}
         for r in state["mappings"]:
             stats: _MappingState = r["stats"]
-            if stats.count == 0:
+            if stats.rows_kept == 0 or stats.count_f() == 0.0:
                 logger.warning("AWQ mapping %s saw no activations; skipping",
                                r["mapping"].smooth_layer)
                 continue
@@ -233,10 +250,10 @@ class AWQModifier(Modifier):
                 else:
                     bweights.append(weight_nk(s.get()))
             K = bweights[0].shape[-1]
-            w_mean = np.mean(
-                np.concatenate([np.abs(np.asarray(w)) for w in bweights], axis=0),
-                axis=0,
-            )
+            # column |w| mean on DEVICE — pulling the raw balance weights to
+            # host costs ~130 MB/layer over a tunneled chip; only the (K,)
+            # result crosses
+            w_mean = np.asarray(_col_abs_mean(tuple(bweights)))
             x_rows = stats.x_rows()
             if x_rows.shape[-1] != K:
                 logger.warning("AWQ mapping %s: stat dim %d != weight dim %d; skipping",
@@ -283,20 +300,59 @@ def _resolve_smooth(m: AWQMapping, ctx: LayerCtx):
     return None
 
 
+def _dense_from_kn(w_kn: jnp.ndarray, bias) -> QuantLinear:
+    """Dense QuantLinear from an already-(K, N) DEVICE weight — the folds
+    below must not round-trip ~700 MB/layer of dequantized f32 through the
+    host the way dense_linear(np.asarray(w).T) would."""
+    w = w_kn.astype(jnp.bfloat16)
+    k, n = w.shape
+    return QuantLinear(
+        kind="dense", weight=w,
+        bias=None if bias is None else jnp.asarray(bias, jnp.bfloat16),
+        meta=(("k", k), ("n", n)),
+    )
+
+
 def _fold_rows(lin: QuantLinear, inv_scale: jnp.ndarray) -> QuantLinear:
     """Divide a linear's *output channels* by scale (smooth side)."""
     w = lin.dequantize(jnp.float32)  # (K, N)
     w = w / inv_scale[None, :]
-    bias = None if lin.bias is None else np.asarray(lin.bias, np.float32) / np.asarray(inv_scale)
-    return dense_linear(np.asarray(w).T, bias=bias)
+    bias = None if lin.bias is None else lin.bias.astype(jnp.float32) / inv_scale
+    return _dense_from_kn(w, bias)
 
 
 def _fold_cols(lin: QuantLinear, scale: jnp.ndarray) -> QuantLinear:
     """Multiply a linear's *input channels* by scale (balance side)."""
     w = lin.dequantize(jnp.float32)  # (K, N)
     w = w * scale[:, None]
-    bias = None if lin.bias is None else np.asarray(lin.bias, np.float32)
-    return dense_linear(np.asarray(w).T, bias=bias)
+    return _dense_from_kn(w, lin.bias)
+
+
+def _expert_stack_dequant(el: ExpertLinears) -> jnp.ndarray:
+    """Dequantize ALL experts in one vmapped dispatch → (E, K, N) f32."""
+    xs = el._xs()
+    in_axes = tuple(0 if a is not None else None for a in xs)
+    return jax.vmap(
+        lambda w, s, z, b: el._from_sliced((w, s, z, b)).dequantize(jnp.float32),
+        in_axes=in_axes)(*xs)
+
+
+def _fold_expert_stack(el: ExpertLinears, scale: jnp.ndarray,
+                       rows: bool) -> ExpertLinears:
+    """Fold a smoothing scale into a whole expert stack at once — the
+    per-expert loop costs E·3 dispatches/site (≈half an hour of pure
+    tunnel overhead on a 128-expert, 62-layer MiniMax-class run)."""
+    deq = _expert_stack_dequant(el)  # (E, K, N)
+    if rows:  # smooth side: divide output channels
+        deq = deq / scale[None, None, :]
+        bias = None if el.bias is None else (
+            el.bias.astype(jnp.float32) / scale[None, :]).astype(jnp.bfloat16)
+    else:  # balance side: multiply input channels
+        deq = deq * scale[None, :, None]
+        bias = el.bias
+    K, N = deq.shape[1], deq.shape[2]
+    return ExpertLinears(kind="dense", weight=deq.astype(jnp.bfloat16),
+                         bias=bias, meta=(("k", K), ("n", N)))
 
 
 def _apply_smoothing(ctx: LayerCtx, smooth, balance: List[LinearSite],
@@ -325,14 +381,10 @@ def _apply_smoothing(ctx: LayerCtx, smooth, balance: List[LinearSite],
             site.set(_fold_rows(site.get(), scale))
     elif kind == "expert_linear":
         site = smooth[1]
-        el: ExpertLinears = site.get()
-        new = [_fold_rows(el.expert(e), scale) for e in range(el.num_experts)]
-        site.set(ExpertLinears.stack(new))
+        site.set(_fold_expert_stack(site.get(), scale, rows=True))
 
     for b in balance:
         if b.is_expert:
-            el = b.get()
-            new = [_fold_cols(el.expert(e), scale) for e in range(el.num_experts)]
-            b.set(ExpertLinears.stack(new))
+            b.set(_fold_expert_stack(b.get(), scale, rows=False))
         else:
             b.set(_fold_cols(b.get(), scale))
