@@ -640,7 +640,7 @@ def _rand_linear(key: jax.Array, n: int, k: int, dtype=jnp.bfloat16,
                  bias: bool = False, scale: float = 0.02) -> QuantLinear:
     w = jax.random.normal(key, (n, k), jnp.float32) * scale
     b = np.zeros((n,), np.float32) if bias else None
-    return dense_linear(np.asarray(w), bias=b, dtype=dtype)
+    return dense_linear(w, bias=b, dtype=dtype)  # w stays on device
 
 
 def init_params(spec: ModelSpec, key: Optional[jax.Array] = None,

@@ -556,13 +556,21 @@ def _pack_nibbles_np(vals: np.ndarray, offset: int = 8) -> np.ndarray:
 
 
 def dense_linear(weight_nk: Any, bias: Optional[Any] = None, dtype=jnp.bfloat16) -> QuantLinear:
-    """From an HF (N, K) weight -> dense layout (K, N)."""
-    w = jnp.asarray(np.asarray(weight_nk), dtype=dtype).T
+    """From an HF (N, K) weight -> dense layout (K, N).
+
+    A weight that already lives on device stays there — ``np.asarray`` on a
+    jax Array is a full device→host download (init_params of a 4B model
+    round-trips ~24 GB through a tunneled chip otherwise)."""
+    if not isinstance(weight_nk, jax.Array):
+        weight_nk = np.asarray(weight_nk)
+    w = jnp.asarray(weight_nk, dtype=dtype).T
     k, n = w.shape
+    if bias is not None and not isinstance(bias, jax.Array):
+        bias = np.asarray(bias)
     return QuantLinear(
         kind="dense",
         weight=w,
-        bias=None if bias is None else jnp.asarray(np.asarray(bias), dtype=dtype),
+        bias=None if bias is None else jnp.asarray(bias, dtype=dtype),
         meta=(("k", k), ("n", n)),
     )
 
