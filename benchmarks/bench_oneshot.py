@@ -8,8 +8,8 @@ host RAM for Hessians (`scripts/old_scripts/main_devstral-gptq.py:40-42`),
 and AWQ's activation capture grows past **1 TB of host RAM** at
 128 x 2048 (`main_devstral-gptq.py:50-52` — llmcompressor materializes
 every captured activation on the host). This bench times OUR layer-
-sequential engine (`quantizers_tpu/oneshot/engine.py`) on a full
-Qwen3-4B-shaped model on one TPU chip and reports:
+sequential engine (`quantizers_tpu/oneshot/engine.py`) on a Qwen3-4B-shaped
+model on one TPU chip and reports:
 
 * wall-clock + stage split (capture / solve / propagate) for an AWQ W4A16
   run at the reference's dense-model calibration size (64 x 2048,
@@ -22,7 +22,14 @@ Qwen3-4B-shaped model on one TPU chip and reports:
 * the engine's bounded memory story: Hessians/activation stats live on
   DEVICE (f32 XtX accumulated on the MXU, `oneshot/gptq.py:_hess_accum`;
   AWQ keeps a (K,)-mean + <=512 sample rows, `oneshot/awq.py:_observe_stats`)
-  so host RAM never sees the >1 TB blow-up — peak HBM is printed.
+  so host RAM never sees the >1 TB blow-up.
+
+Each leg runs in its own SUBPROCESS: the tunneled TPU server does not
+promptly reclaim a dead/OOMed client's memory, so leg isolation keeps one
+leg's residue from starving the next. The GPTQ leg runs at reduced depth
+(QTPU_GPTQ_LAYERS, default 18 of 36) and scales layer-linearly — every
+engine stage processes layers independently, so cost is exactly linear in
+depth; the raw half-depth numbers are reported alongside.
 
 Model weights are synthetic (calibration speed is content-independent).
 Prints ONE JSON line like bench.py.
@@ -33,6 +40,7 @@ from __future__ import annotations
 import json
 import logging
 import os
+import subprocess
 import sys
 import time
 
@@ -48,25 +56,13 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-import jax  # noqa: E402
-
-if os.environ.get("QTPU_BENCH_FORCE_CPU") == "1":
-    # env JAX_PLATFORMS does not stick under the axon sitecustomize; only
-    # the config update before first backend use forces CPU (see bench.py).
-    jax.config.update("jax_platforms", "cpu")
-
-sys.path.insert(0, ".")
-
-from quantizers_tpu.models import ModelSpec  # noqa: E402
-from quantizers_tpu.models.transformer import init_params  # noqa: E402
-from quantizers_tpu.oneshot.engine import make_batches, oneshot  # noqa: E402
-from quantizers_tpu.recipes import parse_recipe  # noqa: E402
-
 # reference-observed GPTQ cost: ~8 h for the GPTQ stage at 2048 x 4096
 # on an RTX 5090 (`main_devstral-gptq.py:40-42`; ~24B model — we note the
 # size mismatch in the JSON rather than pretending it away).
 REF_GPTQ_S = 8 * 3600.0
 REF_GPTQ_TOKENS = 2048 * 4096
+
+FULL_LAYERS = 36
 
 AWQ_RECIPE = """
 quant_stage:
@@ -94,89 +90,135 @@ quant_stage:
       ignore: ["lm_head"]
 """
 
+LEGS = {"awq": AWQ_RECIPE, "gptq": GPTQ_RECIPE}
 
-def synth_batches(spec, n_samples: int, seq: int, batch_size: int):
+
+def _leg_layers(leg: str, on_tpu: bool) -> int:
+    if not on_tpu:
+        return 2
+    if leg == "gptq":
+        return int(os.environ.get("QTPU_GPTQ_LAYERS", "18"))
+    return int(os.environ.get("QTPU_AWQ_LAYERS", str(FULL_LAYERS)))
+
+
+def _make_spec(on_tpu: bool, num_layers: int):
+    from quantizers_tpu.models import ModelSpec
+
+    if on_tpu:
+        return ModelSpec(
+            vocab_size=151936, hidden_size=2560, num_layers=num_layers,
+            num_heads=32, num_kv_heads=8, head_dim=128,
+            intermediate_size=9728, qk_norm=True, tie_word_embeddings=True,
+            model_type="qwen3",
+        )
+    return ModelSpec.tiny(num_layers=num_layers, hidden_size=128, num_heads=8,
+                          num_kv_heads=4, head_dim=16,
+                          intermediate_size=256, vocab_size=1024)
+
+
+def _calib_size(on_tpu: bool):
+    if on_tpu:
+        return (int(os.environ.get("QTPU_ONESHOT_SAMPLES", "64")),
+                int(os.environ.get("QTPU_ONESHOT_SEQ", "2048")), 4)
+    return 8, 64, 4
+
+
+def run_leg_worker(leg: str) -> None:
+    """Subprocess body: run one leg, print its JSON to stdout."""
+    import jax
+
+    if os.environ.get("QTPU_BENCH_FORCE_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    from quantizers_tpu.models.transformer import init_params
+    from quantizers_tpu.oneshot.engine import make_batches, oneshot
+    from quantizers_tpu.recipes import parse_recipe
+
+    backend = jax.default_backend()
+    on_tpu = backend in ("tpu", "axon")
+    n_layers = _leg_layers(leg, on_tpu)
+    spec = _make_spec(on_tpu, n_layers)
+    n_samples, seq, batch_size = _calib_size(on_tpu)
     rng = np.random.default_rng(0)
     rows = [list(rng.integers(1, spec.vocab_size, size=seq))
             for _ in range(n_samples)]
-    return make_batches(rows, max_seq_length=seq, batch_size=batch_size)
+    batches = make_batches(rows, max_seq_length=seq, batch_size=batch_size)
+    log(f"[{leg}] backend={backend} layers={n_layers} "
+        f"calibration {n_samples}x{seq} ({len(batches)} batches)")
 
-
-def peak_hbm_gb():
-    try:
-        stats = jax.local_devices()[0].memory_stats()
-        return round(stats.get("peak_bytes_in_use", 0) / 1e9, 2)
-    except Exception:  # noqa: BLE001 - memory_stats is backend-optional
-        return None
-
-
-def run_leg(name, spec, recipe_yaml, batches):
-    """Fresh params -> oneshot -> (wall, stage split). Params rebuilt per
-    leg (oneshot mutates them in place)."""
     params = jax.block_until_ready(init_params(spec, jax.random.PRNGKey(0)))
-    recipe = parse_recipe(recipe_yaml)
+    recipe = parse_recipe(LEGS[leg])
     t0 = time.time()
     result = oneshot(spec, params, recipe, batches,
                      moe_calibrate_all_experts=False)
-    # stats are host-side wall-clock; block to be safe
     jax.block_until_ready(result.params["layers"][0])
     wall = time.time() - t0
     st = result.stats
-    n_records = len(result.records)
-    log(f"[{name}] total {wall:.1f}s  capture {st.get('capture_s', 0):.1f}s  "
-        f"solve {st.get('solve_s', 0):.1f}s  propagate {st.get('propagate_s', 0):.1f}s  "
-        f"({n_records} tensors quantized)  peak HBM {peak_hbm_gb()} GB")
-    del params, result
-    return {
+    scale = FULL_LAYERS / n_layers if on_tpu else 1.0
+    out = {
+        "leg": leg,
+        "layers": n_layers,
+        "depth_scale": scale,
         "wall_s": round(wall, 1),
         "capture_s": round(st.get("capture_s", 0.0), 1),
         "solve_s": round(st.get("solve_s", 0.0), 1),
         "propagate_s": round(st.get("propagate_s", 0.0), 1),
-        "tensors": n_records,
-        "peak_hbm_gb": peak_hbm_gb(),
+        # layer-linear projection to the full 36-layer model (each engine
+        # stage processes layers independently)
+        "full_depth_wall_s": round(wall * scale, 1),
+        "tensors": len(result.records),
+        "calib_tokens": n_samples * seq,
     }
+    log(f"[{leg}] {json.dumps(out)}")
+    print(json.dumps(out), flush=True)
+
+
+def _spawn_leg(leg: str, timeout_s: int):
+    env = dict(os.environ, QTPU_ONESHOT_WORKER_LEG=leg)
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, timeout=timeout_s,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    except subprocess.TimeoutExpired:
+        return {"leg": leg, "error": f"timeout after {timeout_s}s"}
+    sys.stderr.write(proc.stderr[-3000:])
+    for line in reversed(proc.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except ValueError:
+                continue
+    return {"leg": leg, "error": f"rc={proc.returncode}; "
+            f"stderr tail: {proc.stderr[-300:]}"}
 
 
 def main() -> None:
-    backend = jax.default_backend()
-    on_tpu = backend in ("tpu", "axon")
-    log(f"backend={backend}")
+    timeout_s = int(os.environ.get("QTPU_ONESHOT_LEG_TIMEOUT", "2400"))
+    legs = os.environ.get("QTPU_ONESHOT_LEGS", "awq,gptq").split(",")
+    results = {leg: _spawn_leg(leg, timeout_s) for leg in legs}
+    awq, gptq = results.get("awq"), results.get("gptq")
 
-    if on_tpu:
-        spec = ModelSpec(
-            vocab_size=151936, hidden_size=2560, num_layers=36, num_heads=32,
-            num_kv_heads=8, head_dim=128, intermediate_size=9728,
-            qk_norm=True, tie_word_embeddings=True, model_type="qwen3",
-        )
-        n_samples = int(os.environ.get("QTPU_ONESHOT_SAMPLES", "64"))
-        seq = int(os.environ.get("QTPU_ONESHOT_SEQ", "2048"))
-        batch_size = 4
-        kind = "qwen3_4b"
-    else:
-        spec = ModelSpec.tiny(num_layers=2, hidden_size=128, num_heads=8,
-                              num_kv_heads=4, head_dim=16,
-                              intermediate_size=256, vocab_size=1024)
-        n_samples, seq, batch_size = 8, 64, 4
-        kind = "tiny_cpu_fallback"
+    on_cpu = os.environ.get("QTPU_BENCH_FORCE_CPU") == "1"
+    kind = "tiny_cpu_fallback" if on_cpu else "qwen3_4b"
 
-    batches = synth_batches(spec, n_samples, seq, batch_size)
-    calib_tokens = n_samples * seq
-    log(f"calibration: {n_samples} samples x {seq} seq "
-        f"({len(batches)} batches of {batch_size})")
-
-    awq = run_leg("awq_w4a16", spec, AWQ_RECIPE, batches)
-    gptq = run_leg("gptq_w4a16", spec, GPTQ_RECIPE, batches)
-
-    # Project GPTQ to the reference workload: token-linear stages scale,
-    # the per-site solves don't (they depend only on weight shapes).
-    token_linear_s = gptq["capture_s"] + gptq["propagate_s"]
-    projected_s = (token_linear_s * (REF_GPTQ_TOKENS / max(calib_tokens, 1))
-                   + gptq["solve_s"])
-    vs = REF_GPTQ_S / projected_s if projected_s > 0 else None
+    projected_s = vs = None
+    if gptq and "error" not in gptq:
+        # project to the reference workload: token-linear stages scale with
+        # calibration tokens, per-site solves don't; everything scales
+        # layer-linearly to full depth.
+        scale = gptq["depth_scale"]
+        token_linear_s = (gptq["capture_s"] + gptq["propagate_s"]) * scale
+        solve_s = gptq["solve_s"] * scale
+        projected_s = (token_linear_s
+                       * (REF_GPTQ_TOKENS / max(gptq["calib_tokens"], 1))
+                       + solve_s)
+        vs = REF_GPTQ_S / projected_s if projected_s > 0 else None
 
     print(json.dumps({
         "metric": f"oneshot_gptq_calibration_projected_s_{kind}",
-        "value": round(projected_s, 1),
+        "value": None if projected_s is None else round(projected_s, 1),
         "unit": "s (projected to the reference 2048x4096 GPTQ workload)",
         # speedup over the reference's ~8 h GPTQ stage. Caveat printed
         # honestly: the reference number is a ~24B model on an RTX 5090;
@@ -185,13 +227,14 @@ def main() -> None:
         "vs_baseline": None if vs is None else round(vs, 2),
         "ref_baseline_s": REF_GPTQ_S,
         "ref_model_size_ratio": "~6x larger reference model — scale accordingly",
-        "calib_tokens": calib_tokens,
         "awq": awq,
         "gptq": gptq,
-        "calib_tokens_per_s_awq": round(calib_tokens / awq["wall_s"], 1),
-        "calib_tokens_per_s_gptq": round(calib_tokens / gptq["wall_s"], 1),
     }))
 
 
 if __name__ == "__main__":
-    main()
+    leg = os.environ.get("QTPU_ONESHOT_WORKER_LEG")
+    if leg:
+        run_leg_worker(leg)
+    else:
+        main()

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os as _os
 import time
 from functools import partial
 from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple
@@ -328,6 +329,7 @@ def oneshot(
         # ---- capture pass -------------------------------------------------
         if (owned or observe_only or kv_scheme is not None) and want_capture and batches:
             t_cap = time.time()
+            sync_every = int(_os.environ.get("QTPU_CAPTURE_SYNC_EVERY", "4"))
             for bi, (h, pos, mask) in enumerate(zip(hiddens, positions, masks)):
                 _, cap = _capture_jit(layer, spec, canon_idx, h, pos,
                                       moe_calibrate_all_experts)
@@ -344,6 +346,21 @@ def oneshot(
                     vmax = float(jnp.max(jnp.abs(cap["v_cache"].astype(jnp.float32))))
                     kv_absmax[li] = (max(kv_absmax[li][0], kmax),
                                      max(kv_absmax[li][1], vmax))
+                # bound the async pipeline: each in-flight batch pins its
+                # full capture set (~0.4 GB at Qwen3-4B geometry) until its
+                # observe reductions land — unbounded dispatch transiently
+                # OOMs a 16 GB chip that comfortably fits the steady state.
+                # The sync transfers ONE scalar: block_until_ready is not a
+                # reliable barrier on every backend (the tunneled-TPU PJRT
+                # plugin acks it before execution), a host readback is.
+                # TPU executes one in-order stream, so reading back any
+                # scalar enqueued after this batch's observes barriers them
+                # all.
+                if sync_every and (bi + 1) % sync_every == 0:
+                    for v in cap.values():
+                        if isinstance(v, jax.Array):
+                            np.asarray(v.ravel()[:1])
+                            break
             stage_s["capture_s"] += time.time() - t_cap
 
         # ---- layer-level transforms (AWQ smoothing), then compress ---------

@@ -122,6 +122,25 @@ def _gptq_solve(W: jnp.ndarray, Hinv_u: jnp.ndarray, scale: jnp.ndarray,
     return Q
 
 
+@jax.jit
+def _ufactor(H: jnp.ndarray, dampening_frac: jnp.ndarray) -> jnp.ndarray:
+    """Damped H → upper-triangular U with H⁻¹ = UᵀU, in ONE program.
+
+    Fused so XLA's buffer assignment reuses the (K, K) intermediates —
+    run eagerly, the chain (damped H, eye, L, cho_solve workspace, Hinv,
+    symmetrized Hinv, U, nan-guard eye) holds ~8 live (K, K) f32 buffers;
+    at K=9728 that's ~3 GB of avoidable peak, which OOMed the Qwen3-4B
+    GPTQ bench leg on a 16 GB chip."""
+    K = H.shape[0]
+    damp = dampening_frac * jnp.mean(jnp.diag(H))
+    H = H + damp * jnp.eye(K, dtype=jnp.float32)
+    L = jnp.linalg.cholesky(H)
+    Hinv = jax.scipy.linalg.cho_solve((L, True), jnp.eye(K, dtype=jnp.float32))
+    Hinv = 0.5 * (Hinv + Hinv.T) + 1e-10 * jnp.eye(K)
+    U = jnp.linalg.cholesky(Hinv).T
+    return jnp.where(jnp.isnan(U).any(), jnp.eye(K, dtype=jnp.float32), U)
+
+
 def gptq_quantize(w_nk: jnp.ndarray, H: jnp.ndarray, args: QuantizationArgs,
                   block_size: int = 128, dampening_frac: float = 0.01,
                   ) -> Tuple[Any, Optional[np.ndarray]]:
@@ -151,16 +170,9 @@ def gptq_quantize(w_nk: jnp.ndarray, H: jnp.ndarray, args: QuantizationArgs,
     else:
         W_perm = W
 
-    # damping
-    damp = dampening_frac * jnp.mean(jnp.diag(H))
-    H = H + damp * jnp.eye(K, dtype=jnp.float32)
-
     # upper-triangular factor U of H⁻¹ with H⁻¹ = UᵀU: U = chol(H⁻¹)ᵀ
-    L = jnp.linalg.cholesky(H)
-    Hinv = jax.scipy.linalg.cho_solve((L, True), jnp.eye(K, dtype=jnp.float32))
-    Hinv = 0.5 * (Hinv + Hinv.T) + 1e-10 * jnp.eye(K)
-    U = jnp.linalg.cholesky(Hinv).T
-    U = jnp.where(jnp.isnan(U).any(), jnp.eye(K, dtype=jnp.float32), U)
+    U = _ufactor(H, jnp.float32(dampening_frac))
+    del H
 
     qmin, qmax = args.qrange
     g = int(args.group_size) if args.group_size else K
