@@ -238,9 +238,22 @@ def _last_json_line(text: str):
 
 #: secondary kernel-family benches (BASELINE.md coverage table) — run
 #: best-effort after the headline so BENCH_r*.json certifies all four
-#: families, not just W4A16 (round-3 verdict weak #2). Each prints its
-#: own one-line JSON; failures are recorded, never fatal.
-SECONDARY_BENCHES = ("bench_moe", "bench_mla", "bench_fp8", "bench_prefill")
+#: families, not just W4A16 (round-3 verdict weak #2), plus a bounded
+#: calibration-throughput sample (the reference's own headline cost is
+#: its ~8 h GPTQ stage). Each prints its own one-line JSON; failures are
+#: recorded, never fatal. Entries: (name, extra_env, timeout_s or None
+#: for the default).
+SECONDARY_BENCHES = (
+    ("bench_moe", None, None),
+    ("bench_mla", None, None),
+    ("bench_fp8", None, None),
+    ("bench_prefill", None, None),
+    # small slice: 8 layers, 16x2048 samples; legs self-bound at 180 s so
+    # the sweep timeout never orphans a leg subprocess on the chip
+    ("bench_oneshot", {"QTPU_ONESHOT_SAMPLES": "16", "QTPU_AWQ_LAYERS": "8",
+                       "QTPU_GPTQ_LAYERS": "8",
+                       "QTPU_ONESHOT_LEG_TIMEOUT": "180"}, 420),
+)
 SECONDARY_TIMEOUT_S = int(os.environ.get("QTPU_BENCH_SECONDARY_TIMEOUT", "480"))
 
 
@@ -249,13 +262,15 @@ def _run_secondary_benches():
         return None
     root = os.path.dirname(os.path.abspath(__file__))
     out = {}
-    for name in SECONDARY_BENCHES:
+    for name, extra_env, timeout_override in SECONDARY_BENCHES:
         path = os.path.join(root, "benchmarks", f"{name}.py")
-        log(f"[bench] secondary {name} (timeout {SECONDARY_TIMEOUT_S}s)")
+        timeout_s = timeout_override or SECONDARY_TIMEOUT_S
+        env = dict(os.environ, **(extra_env or {}))
+        log(f"[bench] secondary {name} (timeout {timeout_s}s)")
         try:
             proc = subprocess.run(
                 [sys.executable, path], cwd=root, capture_output=True,
-                text=True, timeout=SECONDARY_TIMEOUT_S)
+                text=True, timeout=timeout_s, env=env)
             parsed = _last_json_line(proc.stdout)
             if proc.returncode == 0 and parsed is not None:
                 out[name] = parsed
@@ -264,7 +279,7 @@ def _run_secondary_benches():
                 out[name] = {"error": f"rc={proc.returncode}; "
                              f"stderr tail: {proc.stderr[-300:]}"}
         except subprocess.TimeoutExpired:
-            out[name] = {"error": f"timeout after {SECONDARY_TIMEOUT_S}s"}
+            out[name] = {"error": f"timeout after {timeout_s}s"}
         except Exception as e:  # noqa: BLE001 - best-effort sweep
             out[name] = {"error": repr(e)[:300]}
     return out

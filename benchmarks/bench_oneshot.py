@@ -181,8 +181,13 @@ def _spawn_leg(leg: str, timeout_s: int):
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True, timeout=timeout_s,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    except subprocess.TimeoutExpired:
-        return {"leg": leg, "error": f"timeout after {timeout_s}s"}
+    except subprocess.TimeoutExpired as e:
+        tail = e.stderr or b""
+        if isinstance(tail, bytes):
+            tail = tail.decode(errors="replace")
+        sys.stderr.write(tail[-3000:])
+        return {"leg": leg, "error": f"timeout after {timeout_s}s",
+                "stderr_tail": tail[-400:]}
     sys.stderr.write(proc.stderr[-3000:])
     for line in reversed(proc.stdout.strip().splitlines()):
         if line.startswith("{"):
