@@ -120,8 +120,10 @@ def run_bench(args) -> None:
             "global_batch": B,
         }
         if args.baseline_tok_s:
+            # computed from the ROUNDED value so the record is internally
+            # consistent (selftest + tests recompute it from `value`)
             out["scaling_efficiency"] = round(
-                tok_s / (n_proc * args.baseline_tok_s), 3)
+                out["value"] / (n_proc * args.baseline_tok_s), 3)
         print(json.dumps(out), flush=True)
 
 

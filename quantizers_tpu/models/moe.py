@@ -262,7 +262,16 @@ def moe_forward(moe: Dict[str, Any], spec, x: jax.Array,
     )
     want_capture = capture is not None
 
-    if (not want_capture and not all_experts
+    # the gathered slot path (kernels + dequant fallbacks) does not apply
+    # expert biases; biased stacks take the scan path below, whose per-
+    # expert QuantLinear.apply does (rare — no shipped MoE family carries
+    # expert FFN biases, but silence would be a numerics bug)
+    bias_free = all(
+        getattr(moe[key], "bias", None) is None
+        for key in ("gate_up_proj", "gate_proj", "up_proj", "down_proj")
+        if key in moe)
+
+    if (not want_capture and not all_experts and bias_free
             and N <= _GATHER_DECODE_MAX_TOKENS and N * k < spec.num_experts):
         y = _gathered_topk_ffn(moe, h2, topi, topv)
         shared = moe.get("shared_experts")

@@ -85,13 +85,18 @@ class _MappingState:
         self.rows: List[jnp.ndarray] = []  # subsampled input rows (r, K)
         self.rows_kept = 0
 
-    def update(self, x: jnp.ndarray, mask: Optional[jnp.ndarray]) -> None:
+    def update(self, x: jnp.ndarray, mask: Optional[jnp.ndarray],
+               valid_rows: Optional[int] = None) -> None:
         x2_rows = int(np.prod(x.shape[:-1]))
         if x2_rows == 0:
             return
         masked = (mask is not None
                   and int(np.prod(mask.shape)) == x2_rows)
-        take = min(MAX_SEARCH_ROWS - self.rows_kept, x2_rows)
+        # budget the sample by VALID rows (engine-provided host-side count):
+        # a heavily padded batch must not fill MAX_SEARCH_ROWS with
+        # duplicates and starve later batches of distinct sample rows
+        n_valid = valid_rows if (masked and valid_rows is not None) else x2_rows
+        take = min(MAX_SEARCH_ROWS - self.rows_kept, n_valid)
         sum_abs, count, rows = _observe_stats(
             jnp.asarray(x), jnp.asarray(mask) if masked else jnp.zeros((1,)),
             take=max(take, 1), masked=masked)
@@ -226,7 +231,8 @@ class AWQModifier(Modifier):
             # this path only triggers for down_proj).
             r["stats"].update(x_in.reshape(-1, x_in.shape[-1]), None)
         else:
-            r["stats"].update(x_in, mask)
+            r["stats"].update(x_in, mask,
+                              valid_rows=capture.get("_valid_rows"))
         r["_seen_key"] = key  # one update per batch per mapping
 
     def pre_compress(self, state, ctx: LayerCtx, matched) -> None:

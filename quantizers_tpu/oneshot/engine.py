@@ -139,6 +139,36 @@ def _propagate_jit(layer, spec, canon_idx, h, pos, moe_all):
     return apply_layer(layer, spec, canon_idx, h, pos, None, moe_all)[0]
 
 
+def _capture_alias_map(layer, spec, canon_idx, h, pos, moe_all) -> Dict[str, str]:
+    """capture_key → canonical capture_key for keys that are the SAME traced
+    tensor inside the layer forward (q/k/v share the post-norm hidden,
+    gate/up likewise, MoE gate/up/router/shared all see the pre-routing h2).
+
+    Identity must be read off the jaxpr output vars: a jit'd dict output
+    yields a DISTINCT Python array per key even when two keys were one
+    tensor, so ``id()`` on runtime outputs cannot detect sharing. Modifiers
+    use this map to accumulate one Hessian per distinct input instead of
+    one per site. One host-side trace per layer kind; no device work."""
+    closed, shapes = jax.make_jaxpr(
+        lambda lyr, hh, pp: _capture_layer(lyr, spec, canon_idx, hh, pp, moe_all),
+        return_shape=True)(layer, h, pos)
+    paths = [p for p, _ in jax.tree_util.tree_flatten_with_path(shapes)[0]]
+    outvars = closed.jaxpr.outvars
+    first_for_var: Dict[int, str] = {}
+    alias: Dict[str, str] = {}
+    for path, var in zip(paths, outvars):
+        # cap-dict entries have path (SequenceKey(1), DictKey(<capture_key>))
+        if (len(path) == 2
+                and isinstance(path[0], jax.tree_util.SequenceKey)
+                and path[0].idx == 1
+                and isinstance(path[1], jax.tree_util.DictKey)):
+            key = str(path[1].key)
+            canon = first_for_var.setdefault(id(var), key)
+            if canon != key:
+                alias[key] = canon
+    return alias
+
+
 def _canonical_layer_idx(spec: ModelSpec, layer_idx: int) -> int:
     """First layer index with the same MoE-ness as ``layer_idx`` — the jit
     cache key stand-in (numerics are identical for same-kind layers)."""
@@ -261,6 +291,7 @@ def oneshot(
     hiddens: List[Any] = []
     positions: List[Any] = []
     masks: List[Any] = []
+    valid_rows: List[int] = []  # host-side valid-token counts per batch
     embed_dev = {"embed": jnp.asarray(params["embed"])} if (host_mode and batches) \
         else params
     for ids, mask in batches:
@@ -271,6 +302,7 @@ def oneshot(
         pos = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
         positions.append(np.asarray(pos) if host_mode else pos)
         masks.append(np.asarray(mask) if host_mode else jnp.asarray(mask))
+        valid_rows.append(int(np.asarray(mask).sum()) if mask is not None else B * T)
     del embed_dev
 
     records: Dict[str, CompressedParam] = {}
@@ -282,6 +314,7 @@ def oneshot(
     kv_scheme = recipe.kv_cache_scheme()
     kv_absmax: Dict[int, Tuple[float, float]] = {
         i: (0.0, 0.0) for i in range(len(params["layers"]))}
+    capture_aliases: Dict[int, Dict[str, str]] = {}  # canon layer idx → map
 
     for li, host_layer in enumerate(params["layers"]):
         t_layer = time.time()
@@ -330,6 +363,10 @@ def oneshot(
         if (owned or observe_only or kv_scheme is not None) and want_capture and batches:
             t_cap = time.time()
             sync_every = int(_os.environ.get("QTPU_CAPTURE_SYNC_EVERY", "4"))
+            if canon_idx not in capture_aliases:
+                capture_aliases[canon_idx] = _capture_alias_map(
+                    layer, spec, canon_idx, hiddens[0], positions[0],
+                    moe_calibrate_all_experts)
             for bi, (h, pos, mask) in enumerate(zip(hiddens, positions, masks)):
                 _, cap = _capture_jit(layer, spec, canon_idx, h, pos,
                                       moe_calibrate_all_experts)
@@ -337,6 +374,10 @@ def oneshot(
                 # that observe one shared input for several sites (id() of
                 # the capture dict is NOT stable: values recycle after GC)
                 cap["_batch_idx"] = bi
+                # structural shared-input map + host-side valid-token count
+                # (modifiers must not sync the device for either)
+                cap["_aliases"] = capture_aliases[canon_idx]
+                cap["_valid_rows"] = valid_rows[bi]
                 for mod, site, gname, scheme in observe_only + owned:
                     x_in = cap.get(site.capture_key)
                     if x_in is not None:

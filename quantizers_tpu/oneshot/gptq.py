@@ -265,26 +265,39 @@ class GPTQModifier(Modifier):
         state["H"] = {}  # canonical prefix -> (K,K) | (E,C,C) device array
         state["alias"] = {}  # site prefix -> canonical H key
         state["_seen"] = {}  # (batch_idx, id(x)) -> canonical prefix
+        state["_ckey_owner"] = {}  # canonical capture_key -> owner prefix
         return state
 
     def observe(self, state, site: LinearSite, x_in, mask, capture) -> None:
         super().observe(state, site, x_in, mask, capture)
         # Sites fed by the SAME tensor (q/k/v share the post-norm hidden,
         # gate/up likewise) share one Hessian: X is identical, so accumulate
-        # once and alias. id() is stable here — the capture dict keeps every
-        # batch's arrays alive for the duration of the observe sweep.
-        bi = capture.get("_batch_idx", None)
-        xid = (bi, id(x_in))
-        canon = state["_seen"].get(xid)
-        if canon is not None and canon != site.prefix \
-                and state["alias"].get(canon) == canon:
-            state["alias"][site.prefix] = canon
-            return
-        if state["alias"].get(site.prefix, site.prefix) != site.prefix:
-            # already aliased to another site in an earlier batch
-            return
-        state["_seen"][xid] = site.prefix
-        state["alias"][site.prefix] = site.prefix
+        # once and alias. The engine's structural map (traced off the jaxpr,
+        # engine._capture_alias_map) is authoritative — jit returns a
+        # DISTINCT array per capture key even for one traced tensor, so
+        # id() on the runtime values cannot see the sharing. The id() path
+        # below remains for direct observe() calls without an engine capture
+        # (unit tests), where object identity IS meaningful.
+        aliases = capture.get("_aliases")
+        if aliases is not None:
+            ckey = aliases.get(site.capture_key, site.capture_key)
+            owner = state["_ckey_owner"].setdefault(ckey, site.prefix)
+            state["alias"][site.prefix] = owner
+            if owner != site.prefix:
+                return
+        else:
+            bi = capture.get("_batch_idx", None)
+            xid = (bi, id(x_in))
+            canon = state["_seen"].get(xid)
+            if canon is not None and canon != site.prefix \
+                    and state["alias"].get(canon) == canon:
+                state["alias"][site.prefix] = canon
+                return
+            if state["alias"].get(site.prefix, site.prefix) != site.prefix:
+                # already aliased to another site in an earlier batch
+                return
+            state["_seen"][xid] = site.prefix
+            state["alias"][site.prefix] = site.prefix
 
         if site.is_expert and x_in.ndim == 3:
             # (E, N, C) expert inputs → stacked per-expert Hessians

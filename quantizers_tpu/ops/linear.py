@@ -358,7 +358,7 @@ def experts_to_w8pc(el: Any) -> Any:
         return w8, sc.astype(jnp.float32)  # (k, n) int8, (1, n)
 
     w8, sc = jax.lax.map(one, (el.weight, el.scale))
-    return ExpertLinears(kind="w8", weight=w8, scale=sc,
+    return ExpertLinears(kind="w8", weight=w8, scale=sc, bias=el.bias,
                          meta=(("k", k), ("n", n), ("group_size", None)))
 
 

@@ -128,8 +128,11 @@ class ContinuousBatcher:
                 from ..ops.linear import moe_w8pc_layout
 
                 params = jax.jit(moe_w8pc_layout)(params)
+            # =packed must actually KEEP the half-byte at-rest layout —
+            # it gates the int8 doubling too, not just the w8pc fuse
             params = jax.jit(partial(
-                i4_device_layout, nvfp4_int8=plan["int8_ok"]))(params)
+                i4_device_layout,
+                nvfp4_int8=plan["int8_ok"] and moe_layout != "packed"))(params)
         self.params = params
         self.max_batch = max_batch
         self.max_len = max_len

@@ -615,6 +615,86 @@ class TestObservePathEfficiency:
         np.testing.assert_allclose(np.asarray(H_dn[0]), 2.0 * x_np.T @ x_np,
                                    rtol=1e-4, atol=1e-3)
 
+    def test_capture_alias_map_structural(self, dense, moe):
+        """The engine's jaxpr-level alias map must find shared capture
+        inputs (q/k/v one tensor, gate/up one tensor) — jit returns a
+        distinct array per key, so id()-based dedup can never fire through
+        the real capture path."""
+        from quantizers_tpu.oneshot.engine import _capture_alias_map
+
+        def canon(amap, key):
+            return amap.get(key, key)
+
+        for spec, params in (dense, moe):
+            h = jnp.zeros((2, 8, spec.hidden_size), jnp.bfloat16)
+            pos = jnp.broadcast_to(jnp.arange(8)[None, :], (2, 8))
+            amap = _capture_alias_map(params["layers"][0], spec, 0, h, pos, True)
+            # q/k/v share the post-norm hidden
+            assert canon(amap, "q_proj") == canon(amap, "k_proj") \
+                == canon(amap, "v_proj"), amap
+            assert canon(amap, "o_proj") != canon(amap, "q_proj"), amap
+            if spec.num_experts:
+                # MoE gate/up (and the router) all see the pre-routing h2
+                assert canon(amap, "moe_gate_proj") == canon(amap, "moe_up_proj") \
+                    == canon(amap, "router"), amap
+            else:
+                assert canon(amap, "gate_proj") == canon(amap, "up_proj"), amap
+                assert canon(amap, "down_proj") != canon(amap, "gate_proj"), amap
+
+    def test_gptq_hessians_dedup_through_real_capture(self, dense):
+        """End-to-end through the REAL jitted capture: one Hessian for
+        q/k/v, one for gate/up — 4 accumulators for 7 sites."""
+        from quantizers_tpu.oneshot.engine import _capture_alias_map, _capture_jit
+        from quantizers_tpu.oneshot.gptq import GPTQModifier
+        from quantizers_tpu.oneshot.modifiers import LayerCtx
+        from quantizers_tpu.oneshot.sites import layer_sites
+
+        spec, params0 = dense
+        layer = _clone(params0)["layers"][0]
+        sites = {s.name: s for s in layer_sites(spec, 0, layer)}
+        mspec = _recipe("GPTQModifier").modifiers[0]
+        scheme = next(iter(mspec.config_groups.values()))
+        mod = GPTQModifier(mspec)
+        matched = [(s, "group_0", scheme) for s in sites.values()]
+        ctx = LayerCtx(spec=spec, layer_idx=0, layer=layer,
+                       sites=list(sites.values()))
+        state = mod.begin_layer(ctx, matched)
+        h = jnp.zeros((2, 8, spec.hidden_size), jnp.bfloat16) + 0.1
+        pos = jnp.broadcast_to(jnp.arange(8)[None, :], (2, 8))
+        amap = _capture_alias_map(layer, spec, 0, h, pos, False)
+        for bi in range(2):
+            _, cap = _capture_jit(layer, spec, 0, h, pos, False)
+            cap["_batch_idx"] = bi
+            cap["_aliases"] = amap
+            for s in sites.values():
+                x_in = cap.get(s.capture_key)
+                if x_in is not None:
+                    mod.observe(state, s, x_in, None, cap)
+        # 7 dense sites -> 4 Hessians: {q,k,v}, o, {gate,up}, down
+        assert len(state["H"]) == 4, sorted(state["H"])
+        al = state["alias"]
+        assert al[sites["k_proj"].prefix] == al[sites["q_proj"].prefix] \
+            == al[sites["v_proj"].prefix]
+        assert al[sites["up_proj"].prefix] == al[sites["gate_proj"].prefix]
+        assert al[sites["down_proj"].prefix] != al[sites["gate_proj"].prefix]
+
+    def test_awq_take_budget_uses_valid_rows(self):
+        """A heavily padded batch must not fill the sample budget with
+        duplicate rows and starve later batches."""
+        from quantizers_tpu.oneshot.awq import MAX_SEARCH_ROWS, _MappingState
+
+        st = _MappingState()
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(4, 300, 16)).astype(np.float32))
+        mask = np.zeros((4, 300), np.float32)
+        mask[:, :25] = 1.0  # 100 valid of 1200 rows
+        st.update(x, jnp.asarray(mask), valid_rows=100)
+        assert st.rows_kept == 100  # not 512
+        st.update(x + 1.0, jnp.asarray(mask), valid_rows=100)
+        assert st.rows_kept == 200
+        st.update(x, None)  # unmasked: all 1200 rows are valid
+        assert st.rows_kept == MAX_SEARCH_ROWS
+
     def test_layer_forwards_compile_once_per_kind(self, dense):
         from quantizers_tpu.oneshot.engine import _capture_jit, _propagate_jit
 

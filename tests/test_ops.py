@@ -825,6 +825,48 @@ class TestMoEW8pcFusedLayout:
             np.asarray(out.expert(0).dequantize(jnp.float32)),
             np.asarray(el.expert(0).dequantize(jnp.float32)), rtol=1e-5)
 
+    def test_biased_experts_keep_bias_and_decode_applies_it(self):
+        """Expert-FFN biases survive the w8pc requant+fuse, and the decode
+        forward applies them — the gathered slot path ignores biases, so
+        biased stacks must route through the scan path (code-review r4)."""
+        import dataclasses
+
+        from quantizers_tpu.models.moe import moe_forward
+        from quantizers_tpu.ops.linear import moe_w8pc_layout
+
+        moe = self._moe()
+        rng = np.random.default_rng(5)
+        for key in ("gate_proj", "up_proj", "down_proj"):
+            el = moe[key]
+            n = dict(el.meta)["n"]
+            bias = jnp.asarray(rng.normal(size=(4, n)).astype(np.float32))
+            moe[key] = dataclasses.replace(el, bias=bias)
+        fused = moe_w8pc_layout(moe)
+        gu = fused["gate_up_proj"]
+        assert gu.bias is not None and gu.bias.shape == (4, 256)
+        assert fused["down_proj"].bias is not None
+
+        class _Spec:
+            num_experts = 4
+            num_experts_per_tok = 2
+            norm_topk_prob = True
+            scoring_func = "softmax"
+            routed_scaling_factor = 1.0
+
+        x = jnp.asarray(rng.normal(size=(1, 2, 256)).astype(np.float32) * 0.1)
+        y = moe_forward(fused, _Spec(), x)  # decode regime (tiny N, no capture)
+        # reference: biased un-fused stack through the all-expert scan path
+        y_ref = moe_forward(moe, _Spec(), x, all_experts=True)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=0.12, atol=0.12)
+        # and the bias actually matters (drop it -> different output)
+        y_nobias = moe_forward(
+            {**fused,
+             "gate_up_proj": dataclasses.replace(gu, bias=None),
+             "down_proj": dataclasses.replace(fused["down_proj"], bias=None)},
+            _Spec(), x)
+        assert np.abs(np.asarray(y) - np.asarray(y_nobias)).max() > 0.01
+
     def test_fused_kernel_matches_xla_exact(self):
         from quantizers_tpu.models.moe import _slot_dequant
         from quantizers_tpu.ops.kernels import moe_slot_gu_ffn
