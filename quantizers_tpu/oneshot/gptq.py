@@ -23,6 +23,7 @@ TPU-native implementation of the reference's ``GPTQModifier``
 from __future__ import annotations
 
 import logging
+import os
 from functools import partial
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -141,6 +142,32 @@ def _ufactor(H: jnp.ndarray, dampening_frac: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(jnp.isnan(U).any(), jnp.eye(K, dtype=jnp.float32), U)
 
 
+def _ufactor_host(H: np.ndarray, dampening_frac: float) -> np.ndarray:
+    """Host (LAPACK, f64) version of :func:`_ufactor` — the DEFAULT on TPU.
+
+    Large cholesky/triangular-solve chains are a poor fit for the TPU's
+    systolic/vector units (XLA lowers them to long serial loops), and on
+    the tunneled backend the device chain reproducibly exhausted backend
+    resources at calibration geometry. The factor is a one-time cost per
+    site; ~10 s of multi-core LAPACK at K=9728 replaces the fragile device
+    program. Select the device path with QTPU_GPTQ_FACTOR=device."""
+    import scipy.linalg as sla
+
+    K = H.shape[0]
+    Hd = H.astype(np.float64)
+    damp = dampening_frac * float(np.mean(np.diag(Hd)))
+    Hd[np.arange(K), np.arange(K)] += damp
+    try:
+        L = np.linalg.cholesky(Hd)
+        Hinv = sla.cho_solve((L, True), np.eye(K))
+        Hinv = 0.5 * (Hinv + Hinv.T) + 1e-10 * np.eye(K)
+        U = np.linalg.cholesky(Hinv).T
+    except np.linalg.LinAlgError:
+        logger.warning("GPTQ: Hessian factorization failed; identity fallback")
+        U = np.eye(K)
+    return U.astype(np.float32)
+
+
 def gptq_quantize(w_nk: jnp.ndarray, H: jnp.ndarray, args: QuantizationArgs,
                   block_size: int = 128, dampening_frac: float = 0.01,
                   ) -> Tuple[Any, Optional[np.ndarray]]:
@@ -170,8 +197,12 @@ def gptq_quantize(w_nk: jnp.ndarray, H: jnp.ndarray, args: QuantizationArgs,
     else:
         W_perm = W
 
-    # upper-triangular factor U of H⁻¹ with H⁻¹ = UᵀU: U = chol(H⁻¹)ᵀ
-    U = _ufactor(H, jnp.float32(dampening_frac))
+    # upper-triangular factor U of H⁻¹ with H⁻¹ = UᵀU: U = chol(H⁻¹)ᵀ.
+    # Host LAPACK by default (see _ufactor_host); device opt-in.
+    if os.environ.get("QTPU_GPTQ_FACTOR", "host") == "device":
+        U = _ufactor(H, jnp.float32(dampening_frac))
+    else:
+        U = jnp.asarray(_ufactor_host(np.asarray(H), float(dampening_frac)))
     del H
 
     qmin, qmax = args.qrange
