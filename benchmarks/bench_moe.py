@@ -150,6 +150,9 @@ def build_params(spec, key):
 
 
 def main():
+    from quantizers_tpu.utils import enable_persistent_cache
+
+    enable_persistent_cache()  # tunnel compiles are 1-40 s; cache loads ~0.1 s
     backend = jax.default_backend()
     on_tpu = backend in ("tpu", "axon")
     log(f"backend={backend}")

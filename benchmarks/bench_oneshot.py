@@ -131,6 +131,10 @@ def run_leg_worker(leg: str) -> None:
         jax.config.update("jax_platforms", "cpu")
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+    from quantizers_tpu.utils import enable_persistent_cache
+
+    enable_persistent_cache()  # tunnel compiles are 1-40 s; cache loads ~0.1 s
+
     from quantizers_tpu.models.transformer import init_params
     from quantizers_tpu.oneshot.engine import make_batches, oneshot
     from quantizers_tpu.recipes import parse_recipe

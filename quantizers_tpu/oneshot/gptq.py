@@ -123,23 +123,55 @@ def _gptq_solve(W: jnp.ndarray, Hinv_u: jnp.ndarray, scale: jnp.ndarray,
     return Q
 
 
-@jax.jit
+@partial(jax.jit, donate_argnums=(0,))
 def _ufactor(H: jnp.ndarray, dampening_frac: jnp.ndarray) -> jnp.ndarray:
-    """Damped H → upper-triangular U with H⁻¹ = UᵀU, in ONE program.
+    """Damped H → upper-triangular U with H⁻¹ = UᵀU, in ONE program —
+    the DEFAULT on TPU (keeps the 378 MB K=9728 Hessian on device; the
+    host path costs ~35 s of H-download + U-upload through the ~16-35 MB/s
+    tunnel per factor, measured round 5).
 
-    Fused so XLA's buffer assignment reuses the (K, K) intermediates —
-    run eagerly, the chain (damped H, eye, L, cho_solve workspace, Hinv,
-    symmetrized Hinv, U, nan-guard eye) holds ~8 live (K, K) f32 buffers;
-    at K=9728 that's ~3 GB of avoidable peak, which OOMed the Qwen3-4B
-    GPTQ bench leg on a 16 GB chip."""
+    Exchange-matrix identity (see :func:`_ufactor_host`): with B = JHJ and
+    B = L_b L_bᵀ, U = J L_b⁻¹ J is upper and H⁻¹ = UᵀU. One Cholesky + one
+    blocked triangular solve. Memory discipline (the old chol+cho_solve+
+    chol chain held ~8 live (K, K) f32 buffers and OOMed a 16 GB chip at
+    K=9728): H is donated, and the identity RHS is solved in K×1216 column
+    blocks under ``lax.scan`` so peak live state is B/Lb + the output —
+    ~3 (K, K) buffers."""
     K = H.shape[0]
     damp = dampening_frac * jnp.mean(jnp.diag(H))
-    H = H + damp * jnp.eye(K, dtype=jnp.float32)
-    L = jnp.linalg.cholesky(H)
-    Hinv = jax.scipy.linalg.cho_solve((L, True), jnp.eye(K, dtype=jnp.float32))
-    Hinv = 0.5 * (Hinv + Hinv.T) + 1e-10 * jnp.eye(K)
-    U = jnp.linalg.cholesky(Hinv).T
+    B = (H + damp * jnp.eye(K, dtype=jnp.float32))[::-1, ::-1]
+    Lb = jnp.linalg.cholesky(B)
+
+    bs = 1216 if K % 1216 == 0 else K  # 9728 = 8*1216; odd K solves whole
+    n_blk = K // bs
+
+    def blk(carry, i):
+        rhs = (jnp.arange(K)[:, None] == (i * bs + jnp.arange(bs))[None, :]
+               ).astype(jnp.float32)
+        m = jax.lax.linalg.triangular_solve(Lb, rhs, left_side=True,
+                                            lower=True)
+        return carry, m
+
+    _, cols = jax.lax.scan(blk, 0, jnp.arange(n_blk))  # (n_blk, K, bs)
+    M = jnp.moveaxis(cols, 0, 1).reshape(K, K)
+    U = M[::-1, ::-1]
     return jnp.where(jnp.isnan(U).any(), jnp.eye(K, dtype=jnp.float32), U)
+
+
+def _blas_threads():
+    """Raise the BLAS thread limit to all cores for the factor call.
+
+    The baked OpenBLAS defaults to ONE thread in this container (cgroup
+    detection), which made the K=9728 factor a 50 s single-core stall;
+    4 threads + the flip identity below bring it to ~7 s."""
+    try:
+        from threadpoolctl import threadpool_limits
+
+        return threadpool_limits(limits=os.cpu_count())
+    except Exception:  # threadpoolctl absent: run with ambient limits
+        import contextlib
+
+        return contextlib.nullcontext()
 
 
 def _ufactor_host(H: np.ndarray, dampening_frac: float) -> np.ndarray:
@@ -149,8 +181,16 @@ def _ufactor_host(H: np.ndarray, dampening_frac: float) -> np.ndarray:
     systolic/vector units (XLA lowers them to long serial loops), and on
     the tunneled backend the device chain reproducibly exhausted backend
     resources at calibration geometry. The factor is a one-time cost per
-    site; ~10 s of multi-core LAPACK at K=9728 replaces the fragile device
-    program. Select the device path with QTPU_GPTQ_FACTOR=device."""
+    distinct Hessian (deduped via ``ufactor_cache``); multi-core LAPACK at
+    K=9728 replaces the fragile device program. Select the device path
+    with QTPU_GPTQ_FACTOR=device.
+
+    Uses the exchange-matrix identity ``U = J·chol_lower(J H J)⁻¹·J``
+    (J = anti-diagonal flip): with B = JHJ and B = L_b L_bᵀ,
+    H⁻¹ = J B⁻¹ J = (J L_b⁻¹ J)ᵀ (J L_b⁻¹ J) and J L_b⁻¹ J is upper —
+    exactly the U with H⁻¹ = UᵀU that the elimination needs. One Cholesky
+    + one triangular inverse instead of chol + cho_solve + chol — 2.2×
+    fewer flops, verified identical to the 3-step chain to f64 roundoff."""
     import scipy.linalg as sla
 
     K = H.shape[0]
@@ -158,10 +198,12 @@ def _ufactor_host(H: np.ndarray, dampening_frac: float) -> np.ndarray:
     damp = dampening_frac * float(np.mean(np.diag(Hd)))
     Hd[np.arange(K), np.arange(K)] += damp
     try:
-        L = np.linalg.cholesky(Hd)
-        Hinv = sla.cho_solve((L, True), np.eye(K))
-        Hinv = 0.5 * (Hinv + Hinv.T) + 1e-10 * np.eye(K)
-        U = np.linalg.cholesky(Hinv).T
+        with _blas_threads():
+            B = np.ascontiguousarray(Hd[::-1, ::-1])
+            Lb = sla.cholesky(B, lower=True, check_finite=False)
+            M = sla.solve_triangular(Lb, np.eye(K), lower=True,
+                                     check_finite=False)
+        U = np.ascontiguousarray(M[::-1, ::-1])
     except np.linalg.LinAlgError:
         logger.warning("GPTQ: Hessian factorization failed; identity fallback")
         U = np.eye(K)
@@ -170,8 +212,16 @@ def _ufactor_host(H: np.ndarray, dampening_frac: float) -> np.ndarray:
 
 def gptq_quantize(w_nk: jnp.ndarray, H: jnp.ndarray, args: QuantizationArgs,
                   block_size: int = 128, dampening_frac: float = 0.01,
+                  ufactor_cache: Optional[Dict[Any, jnp.ndarray]] = None,
+                  cache_key: Any = None,
                   ) -> Tuple[Any, Optional[np.ndarray]]:
-    """Run GPTQ on one weight. Returns (QuantizedTensor, g_idx or None)."""
+    """Run GPTQ on one weight. Returns (QuantizedTensor, g_idx or None).
+
+    ``ufactor_cache``/``cache_key``: sites fed by the same activations
+    share one Hessian (q/k/v; gate/up; a shared expert-stack H feeds every
+    expert), and the U factor depends only on (H, actorder, dampening) —
+    so callers pass a per-layer cache to factor each distinct Hessian
+    once instead of once per site (the dominant GPTQ cost at K=9728)."""
     from ..core.numerics import QuantizedTensor
 
     N, K = w_nk.shape
@@ -199,10 +249,23 @@ def gptq_quantize(w_nk: jnp.ndarray, H: jnp.ndarray, args: QuantizationArgs,
 
     # upper-triangular factor U of H⁻¹ with H⁻¹ = UᵀU: U = chol(H⁻¹)ᵀ.
     # Host LAPACK by default (see _ufactor_host); device opt-in.
-    if os.environ.get("QTPU_GPTQ_FACTOR", "host") == "device":
-        U = _ufactor(H, jnp.float32(dampening_frac))
+    full_key = None if cache_key is None else (
+        cache_key, args.actorder, float(dampening_frac))
+    if ufactor_cache is not None and full_key in ufactor_cache:
+        U = ufactor_cache[full_key]
     else:
-        U = jnp.asarray(_ufactor_host(np.asarray(H), float(dampening_frac)))
+        if os.environ.get("QTPU_GPTQ_FACTOR", "device") == "device":
+            try:
+                U = _ufactor(H, jnp.float32(dampening_frac))
+            except Exception:  # backend resource exhaustion → host LAPACK
+                logger.warning("GPTQ: device U-factor failed at K=%d; "
+                               "falling back to host LAPACK", K)
+                U = jnp.asarray(_ufactor_host(np.asarray(H),
+                                              float(dampening_frac)))
+        else:
+            U = jnp.asarray(_ufactor_host(np.asarray(H), float(dampening_frac)))
+        if ufactor_cache is not None and full_key is not None:
+            ufactor_cache[full_key] = U
     del H
 
     qmin, qmax = args.qrange
@@ -359,6 +422,11 @@ class GPTQModifier(Modifier):
         args = scheme.weights
         bs = self.spec.block_size
         damp = self.spec.dampening_frac
+        # per-layer U-factor cache, keyed by the canonical (aliased)
+        # Hessian owner: q/k/v and gate/up share one H, and a shared
+        # expert-stack H feeds every expert — factor each H once
+        ucache = state.setdefault("_ufactor_cache", {})
+        canon = state["alias"].get(site.prefix, site.prefix)
         if site.is_expert:
             el = site.get()
             w = expert_weights_enk(el)
@@ -372,11 +440,15 @@ class GPTQModifier(Modifier):
             for e in range(el.num_experts):
                 if Hs is None:
                     H = jnp.eye(w.shape[-1], dtype=jnp.float32)
+                    key = ("_eye", w.shape[-1])
                 elif Hs.ndim == 3:
                     H = Hs[e]
+                    key = (canon, e)
                 else:
                     H = Hs
-                qt, _ = gptq_quantize(w[e], H, args, bs, damp)
+                    key = (canon, None)
+                qt, _ = gptq_quantize(w[e], H, args, bs, damp,
+                                      ufactor_cache=ucache, cache_key=key)
                 qts.append(qt)
             res = build_site_result(site, args, group, qt_per_expert=qts,
                                     act_args=scheme.input_activations)
@@ -388,7 +460,9 @@ class GPTQModifier(Modifier):
                 res = build_site_result(site, args, group, w_nk=w,
                                         act_args=scheme.input_activations)
                 return self.finalize_site(state, site, scheme, res)
-            qt, g_idx = gptq_quantize(w, H, args, bs, damp)
+            qt, g_idx = gptq_quantize(w, H, args, bs, damp,
+                                      ufactor_cache=ucache,
+                                      cache_key=(canon, None))
             res = build_site_result(site, args, group, qt=qt, g_idx=g_idx,
                                     act_args=scheme.input_activations)
         return self.finalize_site(state, site, scheme, res)

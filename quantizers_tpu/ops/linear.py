@@ -593,6 +593,72 @@ def _act_meta(act_args: Optional[QuantizationArgs]) -> Tuple[Tuple[str, Any], ..
     return ()
 
 
+def _from_quantized_device(qt: QuantizedTensor, args: QuantizationArgs,
+                           scale_dtype, act_args: Optional[QuantizationArgs],
+                           n: int, k: int) -> Optional[QuantLinear]:
+    """Device-side relayout for device-resident QuantizedTensors — same
+    layouts as the numpy path below, but transposes/casts/nibble-packs run
+    as (cached) XLA programs so the tensor never crosses the host boundary.
+    Returns None for layouts without a device path (NVFP4 code packing)."""
+    scale = qt.scale.astype(jnp.float32)
+
+    def _per_channel(x):
+        # (N,) / (N, 1) -> (1, N). Row-major flattening makes this a pure
+        # reshape; an actual (N, 1).T transpose is degenerate and hits a
+        # pathological Mosaic relayout (96 s for a 152k-row head on v5e).
+        return x.reshape(1, n) if x.size == n else x.reshape(n, -1).T
+
+    if args.type == QuantType.INT and args.num_bits == 4:
+        u = (qt.values.T.astype(jnp.int16) + 8).astype(jnp.uint8)  # (K, N)
+        if u.shape[0] % 2:
+            u = jnp.pad(u, ((0, 1), (0, 0)))
+        half = u.shape[0] // 2
+        packed = u[:half] | (u[half:] << 4)
+        zp = None if qt.zero_point is None else qt.zero_point.T.astype(jnp.int8)
+        return QuantLinear(
+            kind="w4", weight=packed, scale=scale.T.astype(scale_dtype),
+            zero_point=zp,
+            meta=(("k", k), ("n", n), ("group_size", int(args.group_size or k))))
+
+    if args.type == QuantType.INT and args.num_bits == 8:
+        w8 = qt.values.T.astype(jnp.int8)
+        if args.strategy == QuantStrategy.GROUP:
+            meta: Tuple[Tuple[str, Any], ...] = (
+                ("k", k), ("n", n), ("group_size", int(args.group_size)))
+            scale_t = scale.T
+        else:
+            meta = (("k", k), ("n", n), ("group_size", None)) + _act_meta(act_args)
+            scale_t = _per_channel(scale)
+        zp = None
+        if qt.zero_point is not None:
+            zpd = qt.zero_point
+            zp = (zpd.T if zpd.ndim == 2 and zpd.shape[1] > 1 else _per_channel(zpd)).astype(jnp.int8)
+        return QuantLinear(kind="w8", weight=w8,
+                           scale=scale_t.astype(scale_dtype),
+                           zero_point=zp, meta=meta)
+
+    if args.type == QuantType.FLOAT and args.num_bits == 8:
+        w8 = qt.values.T.astype(jnp.float8_e4m3fn)
+        if args.strategy == QuantStrategy.BLOCK:
+            br, bc = tuple(args.block_structure)
+            scale_t = scale.T
+            meta = (("k", k), ("n", n), ("strategy", "block"),
+                    ("block_k", bc), ("block_n", br))
+        elif args.strategy == QuantStrategy.GROUP:
+            scale_t = scale.T
+            meta = (("k", k), ("n", n), ("strategy", "group"),
+                    ("group_size", int(args.group_size)))
+        elif args.strategy == QuantStrategy.CHANNEL:
+            scale_t = _per_channel(scale)
+            meta = (("k", k), ("n", n), ("strategy", "channel"))
+        else:
+            scale_t = scale.reshape(1, 1)
+            meta = (("k", k), ("n", n), ("strategy", "tensor"))
+        return QuantLinear(kind="fp8", weight=w8, scale=scale_t, meta=meta)
+
+    return None  # NVFP4 packing stays on host
+
+
 def from_quantized(
     qt: QuantizedTensor,
     args: QuantizationArgs,
@@ -600,12 +666,28 @@ def from_quantized(
     scale_dtype=jnp.bfloat16,
     act_args: Optional[QuantizationArgs] = None,
 ) -> QuantLinear:
-    """Build the device layout from a host :class:`QuantizedTensor`
+    """Build the device layout from a :class:`QuantizedTensor`
     (values in the HF (N, K) orientation, as produced by core.quantize or
     loaded by formats.CompressedModelReader). ``act_args`` — the scheme's
     ``input_activations`` — is recorded in meta when the serving path has
-    a native compute route for it (see :func:`_act_meta`)."""
+    a native compute route for it (see :func:`_act_meta`).
+
+    Values that already live on device (jax Arrays, e.g. straight out of a
+    jitted ``core.quantize``) are relaid out with device-side ops — through
+    the tunneled axon transport a host round-trip of a 4B-model head is a
+    multi-GB download at ~100-300 MB/s (the 530 s ``quantize_lm_head`` stall
+    diagnosed in round 5); host inputs keep the numpy path."""
     n, k = qt.shape
+    on_device = isinstance(qt.values, jax.Array) and not isinstance(qt.values, np.ndarray)
+
+    if on_device:
+        dev = _from_quantized_device(qt, args, scale_dtype, act_args, n, k)
+        if dev is not None:
+            bias_d = None
+            if bias is not None:
+                bias_d = (bias if isinstance(bias, jax.Array) else jnp.asarray(np.asarray(bias))).astype(jnp.bfloat16)
+            return dataclasses.replace(dev, bias=bias_d)
+
     values = np.asarray(qt.values)
     scale = np.asarray(qt.scale, dtype=np.float32)
     bias_j = None if bias is None else jnp.asarray(np.asarray(bias), dtype=jnp.bfloat16)

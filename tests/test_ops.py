@@ -81,6 +81,52 @@ class TestLayouts:
         host = np.asarray(dequantize(qt, args))
         assert np.allclose(dev, host, atol=1e-3, rtol=1e-2)
 
+    @pytest.mark.parametrize("name,args", [
+        ("w4_group", W4_ARGS),
+        ("w4_asym", QuantizationArgs(num_bits=4, type=QuantType.INT,
+                                     symmetric=False,
+                                     strategy=QuantStrategy.GROUP,
+                                     group_size=32)),
+        ("w8_channel", QuantizationArgs(num_bits=8, type=QuantType.INT,
+                                        strategy=QuantStrategy.CHANNEL)),
+        ("w8_group", QuantizationArgs(num_bits=8, type=QuantType.INT,
+                                      strategy=QuantStrategy.GROUP,
+                                      group_size=32)),
+        ("fp8_channel", QuantizationArgs(num_bits=8, type=QuantType.FLOAT,
+                                         strategy=QuantStrategy.CHANNEL)),
+        ("fp8_tensor", QuantizationArgs(num_bits=8, type=QuantType.FLOAT,
+                                        strategy=QuantStrategy.TENSOR)),
+        ("fp8_block", QuantizationArgs(num_bits=8, type=QuantType.FLOAT,
+                                       strategy=QuantStrategy.BLOCK,
+                                       block_structure=[32, 32])),
+    ])
+    def test_device_path_matches_host_path(self, name, args):
+        """from_quantized's device-resident fast path (no host round-trip —
+        through the tunneled axon transport a big-head download runs at
+        ~16 MB/s) must produce byte-identical layouts to the numpy path."""
+        w = rand((64, 128), seed=12)
+        qt_dev = jax.jit(lambda x: quantize(x, args))(w)
+        qt_host = qt_dev._replace(
+            values=np.asarray(qt_dev.values),
+            scale=np.asarray(qt_dev.scale),
+            zero_point=(None if qt_dev.zero_point is None
+                        else np.asarray(qt_dev.zero_point)),
+            global_scale=(None if qt_dev.global_scale is None
+                          else np.asarray(qt_dev.global_scale)))
+        lin_d = from_quantized(qt_dev, args)
+        lin_h = from_quantized(qt_host, args)
+        assert lin_d.kind == lin_h.kind
+        assert lin_d.meta == lin_h.meta
+        np.testing.assert_array_equal(
+            np.asarray(lin_d.weight).view(np.uint8),
+            np.asarray(lin_h.weight).view(np.uint8))
+        np.testing.assert_array_equal(
+            np.asarray(lin_d.scale, np.float32),
+            np.asarray(lin_h.scale, np.float32))
+        if lin_h.zero_point is not None:
+            np.testing.assert_array_equal(np.asarray(lin_d.zero_point),
+                                          np.asarray(lin_h.zero_point))
+
     def test_pytree_roundtrip(self):
         import jax
 
