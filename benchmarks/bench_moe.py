@@ -167,11 +167,13 @@ def main():
         from quantizers_tpu.models import init_params
         params = init_params(spec, jax.random.PRNGKey(0))
     if on_tpu:
-        # serving layout: fused int8-per-channel experts (the session
-        # default when capacity allows; ops.linear.moe_w8pc_layout) —
-        # 1.39x faster slot kernel than int8-g16 (benchmarks/lab_moe4.py)
-        from quantizers_tpu.ops.linear import moe_w8pc_layout
-        params = jax.jit(moe_w8pc_layout)(params)
+        # THE session layout pipeline (serve.session.serving_layout):
+        # fused qkv + capacity-gated fused int8-per-channel experts — the
+        # benched artifact IS the served artifact, by construction
+        # (round-4 verdict #3; pinned by
+        # tests/test_serve_parallel.py::test_batcher_params_are_serving_layout)
+        from quantizers_tpu.serve.session import serving_layout
+        params = serving_layout(spec, params)
     params = jax.block_until_ready(params)
     wbytes = weight_bytes(params)
     log(f"params {wbytes/1e9:.2f} GB in {time.time()-t0:.0f}s")

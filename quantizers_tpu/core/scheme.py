@@ -80,11 +80,18 @@ class QuantizationArgs:
     def __hash__(self) -> int:
         # the generated hash would choke on the observer_kwargs dict; args
         # must stay hashable (they ride as jit static_argnames, e.g. the
-        # AWQ α-search program cache in oneshot/awq.py:_search_losses)
+        # AWQ α-search program cache in oneshot/awq.py:_search_losses).
+        # observer_kwargs is hashed through a canonical JSON encoding so
+        # unhashable VALUES (a list straight out of a YAML recipe) don't
+        # turn a valid recipe into a TypeError deep inside the α-search;
+        # block_structure likewise tuple-ized (YAML yields a list).
+        import json
+
+        kw = json.dumps(self.observer_kwargs, sort_keys=True, default=str)
+        bs = None if self.block_structure is None else tuple(self.block_structure)
         return hash((self.num_bits, self.type, self.symmetric, self.strategy,
-                     self.group_size, self.block_structure, self.dynamic,
-                     self.observer, tuple(sorted(self.observer_kwargs.items())),
-                     self.actorder, self.scale_dtype))
+                     self.group_size, bs, self.dynamic,
+                     self.observer, kw, self.actorder, self.scale_dtype))
 
     # ---- value range -----------------------------------------------------
     @property

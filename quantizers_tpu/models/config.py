@@ -95,6 +95,19 @@ class ModelSpec:
         step = max(1, self.decoder_sparse_step)
         return (layer_idx + 1) % step == 0 if step > 1 else True
 
+    def layer_kind(self, layer_idx: int):
+        """The AUTHORITATIVE per-layer semantic key: two layers with equal
+        ``layer_kind`` must trace to identical ``apply_layer`` programs.
+
+        The oneshot engine shares compiled capture/propagate programs
+        across same-kind layers (``engine._canonical_layer_idx``); any
+        future per-layer-index behavior — sliding-window-every-Nth,
+        NoPE-every-Nth, per-layer rope scaling — MUST extend this tuple,
+        or same-kind sharing would silently calibrate every layer with the
+        first layer's semantics. Guarded by a jaxpr-equality test
+        (tests/test_oneshot.py::test_layer_kind_is_trace_authoritative)."""
+        return (self.layer_is_moe(layer_idx),)
+
     @property
     def q_dim(self) -> int:
         return self.num_heads * self.head_dim

@@ -226,14 +226,31 @@ class AWQModifier(Modifier):
         if r is None or r.get("_seen_key") == key:
             return
         if site.is_expert and x_in.ndim == 3:
-            # (E, N, C): expert-specific inputs — average stats over experts,
-            # subsample rows from expert 0 (gate/up share the dense input so
-            # this path only triggers for down_proj).
-            r["stats"].update(x_in.reshape(-1, x_in.shape[-1]), None)
+            # (E, N, C): expert-specific inputs — average stats over experts
+            # (gate/up share the dense input so this path only triggers for
+            # down_proj). Every expert sees the same token axis, so the
+            # per-token mask tiles across E and the sample budget counts
+            # E×valid rows — without it a heavily padded batch fills
+            # MAX_SEARCH_ROWS with duplicate padding rows (the starvation
+            # the valid_rows plumbing exists to prevent).
+            E, N = x_in.shape[0], x_in.shape[1]
+            flat = x_in.reshape(-1, x_in.shape[-1])
+            m = None
+            if mask is not None and int(np.prod(mask.shape)) == N:
+                m = jnp.tile(jnp.asarray(mask).reshape(-1), E)
+            vr = capture.get("_valid_rows")
+            r["stats"].update(flat, m,
+                              valid_rows=None if vr is None else E * vr)
         else:
             r["stats"].update(x_in, mask,
                               valid_rows=capture.get("_valid_rows"))
         r["_seen_key"] = key  # one update per batch per mapping
+
+    def sync_arrays(self, state):
+        # each mapping's sum_abs accumulates once per batch; reading one
+        # element of each barriers the observe reductions enqueued so far
+        return [r["stats"].sum_abs for r in state["mappings"]
+                if r["stats"].sum_abs is not None]
 
     def pre_compress(self, state, ctx: LayerCtx, matched) -> None:
         """Fold the best smoothing scales into smooth + balance weights."""

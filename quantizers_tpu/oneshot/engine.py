@@ -170,11 +170,14 @@ def _capture_alias_map(layer, spec, canon_idx, h, pos, moe_all) -> Dict[str, str
 
 
 def _canonical_layer_idx(spec: ModelSpec, layer_idx: int) -> int:
-    """First layer index with the same MoE-ness as ``layer_idx`` — the jit
-    cache key stand-in (numerics are identical for same-kind layers)."""
-    kind = spec.layer_is_moe(layer_idx)
+    """First layer index with the same ``spec.layer_kind`` as
+    ``layer_idx`` — the jit cache key stand-in. ``layer_kind`` is the
+    declared contract that same-kind layers trace to identical programs
+    (ModelSpec.layer_kind documents the obligation on future per-index
+    behavior; a jaxpr-equality test enforces it)."""
+    kind = spec.layer_kind(layer_idx)
     for i in range(layer_idx + 1):
-        if spec.layer_is_moe(i) == kind:
+        if spec.layer_kind(i) == kind:
             return i
     return layer_idx
 
@@ -391,17 +394,27 @@ def oneshot(
                 # full capture set (~0.4 GB at Qwen3-4B geometry) until its
                 # observe reductions land — unbounded dispatch transiently
                 # OOMs a 16 GB chip that comfortably fits the steady state.
-                # The sync transfers ONE scalar: block_until_ready is not a
-                # reliable barrier on every backend (the tunneled-TPU PJRT
-                # plugin acks it before execution), a host readback is.
-                # TPU executes one in-order stream, so reading back any
-                # scalar enqueued after this batch's observes barriers them
-                # all.
+                # The barrier reads one element of each modifier's observe
+                # ACCUMULATOR: on PJRT, D2H transfers complete on data
+                # dependency (not stream order), so only a readback whose
+                # producing op depends on the observe work actually waits
+                # for it (ADVICE r4 #2); block_until_ready is additionally
+                # unreliable on the tunneled backend (acked early).
                 if sync_every and (bi + 1) % sync_every == 0:
-                    for v in cap.values():
-                        if isinstance(v, jax.Array):
-                            np.asarray(v.ravel()[:1])
-                            break
+                    synced = False
+                    for mod in modifiers:
+                        for arr in mod.sync_arrays(states[id(mod)]):
+                            np.asarray(arr.ravel()[:1])
+                            synced = True
+                    if not synced:
+                        # no device accumulators (e.g. pure RTN): a capture
+                        # readback only bounds DISPATCH to ~sync_every
+                        # batches — weaker, but those modifiers enqueue no
+                        # observe work to wait for
+                        for v in cap.values():
+                            if isinstance(v, jax.Array):
+                                np.asarray(v.ravel()[:1])
+                                break
             stage_s["capture_s"] += time.time() - t_cap
 
         # ---- layer-level transforms (AWQ smoothing), then compress ---------

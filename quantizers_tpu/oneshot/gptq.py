@@ -417,6 +417,11 @@ class GPTQModifier(Modifier):
     def _H_for(self, state, key: str):
         return state["H"].get(state["alias"].get(key, key))
 
+    def sync_arrays(self, state):
+        # every canonical Hessian accumulates once per batch; reading one
+        # element of each barriers all Hessian work enqueued so far
+        return list(state["H"].values())
+
     def compress(self, state, site: LinearSite, group: str,
                  scheme: QuantScheme) -> SiteResult:
         args = scheme.weights

@@ -179,6 +179,15 @@ class Modifier:
         if obs is not None:
             obs.update(x_in, mask)
 
+    def sync_arrays(self, state: Any):
+        """Device arrays whose values depend on every observe() so far —
+        the engine reads one element of each as its pipeline barrier.
+        On PJRT, D2H transfers complete on DATA dependency (not stream
+        order), so only a readback of an observe *result* actually waits
+        for the observe work; subclasses with device-resident accumulators
+        must yield them here."""
+        return ()
+
     def pre_compress(self, state: Any, ctx: LayerCtx,
                      matched: List[Tuple[LinearSite, str, QuantScheme]]) -> None:
         """Layer-level weight transform before per-site quantization

@@ -245,7 +245,8 @@ def _nvfp4_layout_decision(tree: Any, nvfp4_int8: Optional[bool],
 
 
 def i4_device_layout(tree: Any, nvfp4_int8: Optional[bool] = None,
-                     expert_shards: int = 1) -> Any:
+                     expert_shards: int = 1,
+                     nvfp4_int8_experts: Optional[bool] = None) -> Any:
     """Swap quantized payloads in a params pytree for the fast TPU device
     layouts: symmetric w4 -> signed int4 (:func:`w4_packed_to_int4`),
     nvfp4 -> int8-doubled (:func:`nvfp4_packed_to_i8`), fp8 -> bf16 dense
@@ -258,7 +259,11 @@ def i4_device_layout(tree: Any, nvfp4_int8: Optional[bool] = None,
 
     The byte-doubling choices (nvfp4-int8, fp8-dense) are capacity-aware
     by default (:func:`nvfp4_capacity_plan`); pass ``nvfp4_int8`` to pin
-    (the serving session computes the plan once against its mesh)."""
+    (the serving session computes the plan once against its mesh).
+    ``nvfp4_int8_experts`` overrides the decision for MoE ``ExpertLinears``
+    stacks ONLY — the scope of the session's ``QTPU_MOE_LAYOUT=packed``
+    knob, which must pin the *expert* at-rest layout without dragging
+    non-MoE attention/dense nvfp4 linears down with it."""
     from .dispatch import _on_tpu
 
     if not _on_tpu():
@@ -284,9 +289,12 @@ def i4_device_layout(tree: Any, nvfp4_int8: Optional[bool] = None,
             if decide_int8 is None:
                 decide_int8 = _nvfp4_layout_decision(tree, nvfp4_int8,
                                                      expert_shards)
-            if not decide_int8:
-                # over capacity: keep the half-byte packed-u8 layout
-                # (serves slower but at half the HBM)
+            leaf_int8 = decide_int8
+            if nvfp4_int8_experts is not None and hasattr(x, "num_experts"):
+                leaf_int8 = nvfp4_int8_experts
+            if not leaf_int8:
+                # over capacity / expert layout pinned packed: keep the
+                # half-byte packed-u8 layout (serves slower, half the HBM)
                 return x
             # int8 stores 2x the E2M1 value; the halved scale keeps every
             # consumer (dequantize, kernels, gather paths) layout-agnostic

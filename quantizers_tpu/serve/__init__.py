@@ -7,3 +7,4 @@ into kernel-ready layouts and decodes with a jit-compiled KV-cache loop.
 """
 
 from .engine import generate, perplexity, prefill  # noqa: F401
+from .session import ContinuousBatcher, serving_layout  # noqa: F401

@@ -18,6 +18,7 @@ from __future__ import annotations
 import dataclasses
 import itertools
 import logging
+import os
 from collections import deque
 from functools import partial
 from typing import Any, Deque, Dict, List, Optional, Sequence, Tuple
@@ -62,6 +63,77 @@ def _merge_row(caches, row_caches, slot):
     return out
 
 
+def serving_layout(spec: ModelSpec, params: Dict[str, Any],
+                   head_bits: Optional[int] = None) -> Dict[str, Any]:
+    """THE serving-layout pipeline: the exact params pytree
+    :class:`ContinuousBatcher` serves. Benchmarks (``benchmarks/
+    bench_moe.py``) build their measured model through this same function,
+    so the benched artifact is the served artifact by construction
+    (round-4 verdict item #3 — the same principle as ``bench.py`` going
+    through ``quantize_lm_head``).
+
+    Steps:
+
+    1. optional quantized logits head (``head_bits``; near-lossless
+       w8-channel — halves the per-step (V, D) tied-head stream);
+    2. :func:`~quantizers_tpu.models.transformer.fuse_for_decode` — fused
+       qkv/gateup projections and (MLA) precomputed absorbed-decode
+       weights, so the per-token jit never re-derives them;
+    3. on TPU-like backends, the capacity-gated MoE serving default:
+       fused int8-per-channel expert stacks (``moe_w8pc_layout``, 1.39x
+       faster slot kernel) when the int8 bytes fit per-chip HBM —
+       ``QTPU_MOE_LAYOUT=int8`` keeps exact-NVFP4 numerics, ``=packed``
+       keeps the half-byte at-rest expert layout;
+    4. when sub-byte jit args are supported (real TPU, not the tunneled
+       transport), the fast signed-int4/int8 at-rest layouts
+       (``i4_device_layout``) — ``_decode_step`` is a per-token jit, so
+       in-jit conversion there would re-relayout every token. ``=packed``
+       scopes to EXPERT stacks only: non-MoE nvfp4 linears keep following
+       the capacity plan (ADVICE r4 #4).
+    """
+    from ..models.transformer import fuse_for_decode
+
+    if head_bits:
+        from ..models.transformer import quantize_lm_head
+
+        params = quantize_lm_head(spec, params, num_bits=head_bits)
+
+    params = fuse_for_decode(spec, params)
+    from ..ops.linear import (
+        i4_device_layout,
+        infer_expert_shards,
+        int4_jit_args_supported,
+        nvfp4_capacity_plan,
+    )
+
+    if jax.default_backend() == "tpu":
+        # nvfp4 layout is decided ONCE here against real shardings: the
+        # int8-doubled layout is only taken when it fits per-chip HBM
+        # (EP-sharded expert stacks divide by their shard count).
+        shards = infer_expert_shards(params)
+        plan = nvfp4_capacity_plan(params, expert_shards=shards)
+        logger.info(
+            "nvfp4 layout plan: packed %.2f GB / int8 %.2f GB per chip "
+            "(budget %.2f GB, expert_shards=%d) -> %s",
+            plan["packed_bytes"] / 1e9, plan["int8_bytes"] / 1e9,
+            plan["budget_bytes"] / 1e9, shards,
+            "int8" if plan["int8_ok"] else "packed")
+        moe_layout = os.environ.get("QTPU_MOE_LAYOUT", "w8pc")
+        if plan["int8_ok"] and moe_layout == "w8pc":
+            # int8 payloads cross even the tunneled transport fine, so the
+            # w8pc expert default applies regardless of sub-byte support
+            from ..ops.linear import moe_w8pc_layout
+
+            params = jax.jit(moe_w8pc_layout)(params)
+        if int4_jit_args_supported():
+            params = jax.jit(partial(
+                i4_device_layout,
+                nvfp4_int8=plan["int8_ok"],
+                nvfp4_int8_experts=plan["int8_ok"] and moe_layout != "packed",
+            ))(params)
+    return params
+
+
 class ContinuousBatcher:
     """Greedy continuous-batching decoder.
 
@@ -76,64 +148,7 @@ class ContinuousBatcher:
                  eos_ids: Sequence[int] = (),
                  head_bits: Optional[int] = None) -> None:
         self.spec = spec
-        from ..models.transformer import fuse_for_decode
-
-        if head_bits:
-            # opt-in quantized logits head (near-lossless w8-channel by
-            # default) — halves the per-step (V, D) head stream for tied
-            # embeddings; see models.transformer.quantize_lm_head
-            from ..models.transformer import quantize_lm_head
-
-            params = quantize_lm_head(spec, params, num_bits=head_bits)
-
-        # serving layout: fused qkv/gateup projections and (for MLA) the
-        # precomputed absorbed-decode weights — without this, _decode_step
-        # would re-derive mla_absorb (a full kv_b dequant + transpose per
-        # layer) inside the per-token jit
-        params = fuse_for_decode(spec, params)
-        from ..ops.linear import (
-            i4_device_layout,
-            infer_expert_shards,
-            int4_jit_args_supported,
-            nvfp4_capacity_plan,
-        )
-
-        if jax.default_backend() == "tpu" and int4_jit_args_supported():
-            # hold the fast signed-int4/int8 layouts at rest: _decode_step
-            # is a per-token jit, so in-jit conversion there would
-            # re-relayout every token. The tunneled transport (which also
-            # reports backend "tpu") can't pass sub-byte jit args — the
-            # capability probe keeps the packed-u8 layout there.
-            #
-            # nvfp4 layout is decided ONCE here against real shardings: the
-            # int8-doubled layout is only taken when it fits per-chip HBM
-            # (EP-sharded expert stacks divide by their shard count).
-            shards = infer_expert_shards(params)
-            plan = nvfp4_capacity_plan(params, expert_shards=shards)
-            logger.info(
-                "nvfp4 layout plan: packed %.2f GB / int8 %.2f GB per chip "
-                "(budget %.2f GB, expert_shards=%d) -> %s",
-                plan["packed_bytes"] / 1e9, plan["int8_bytes"] / 1e9,
-                plan["budget_bytes"] / 1e9, shards,
-                "int8" if plan["int8_ok"] else "packed")
-            # MoE experts: default to the fused int8-per-channel layout
-            # (same per-chip bytes as int8-doubled, 1.39x faster slot
-            # kernel, near-lossless requant — ops.linear.moe_w8pc_layout;
-            # QTPU_MOE_LAYOUT=int8 keeps exact-NVFP4 numerics instead,
-            # =packed keeps the half-byte at-rest layout).
-            import os as _os
-
-            moe_layout = _os.environ.get("QTPU_MOE_LAYOUT", "w8pc")
-            if plan["int8_ok"] and moe_layout == "w8pc":
-                from ..ops.linear import moe_w8pc_layout
-
-                params = jax.jit(moe_w8pc_layout)(params)
-            # =packed must actually KEEP the half-byte at-rest layout —
-            # it gates the int8 doubling too, not just the w8pc fuse
-            params = jax.jit(partial(
-                i4_device_layout,
-                nvfp4_int8=plan["int8_ok"] and moe_layout != "packed"))(params)
-        self.params = params
+        self.params = serving_layout(spec, params, head_bits=head_bits)
         self.max_batch = max_batch
         self.max_len = max_len
         self.buckets = sorted(b for b in prefill_buckets if b <= max_len) or [max_len]

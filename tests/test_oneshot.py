@@ -708,3 +708,58 @@ class TestObservePathEfficiency:
         oneshot(spec, _clone(params), _recipe("AWQModifier"), batches)
         assert _capture_jit._cache_size() == 1, _capture_jit._cache_size()
         assert _propagate_jit._cache_size() == 1, _propagate_jit._cache_size()
+
+
+def test_layer_kind_is_trace_authoritative():
+    """``spec.layer_kind`` is the engine's jit-sharing key
+    (``_canonical_layer_idx``): two layers of equal kind MUST trace to
+    identical programs, or same-kind sharing would silently calibrate
+    later layers with the first layer's semantics (ADVICE r4 #1). This
+    pins the contract with jaxpr equality on an interleaved dense/MoE
+    spec — any future per-layer-index behavior must extend layer_kind
+    (and will fail here if it doesn't)."""
+    import jax
+
+    from quantizers_tpu.models import init_params
+    from quantizers_tpu.models.transformer import apply_layer
+    from quantizers_tpu.oneshot.engine import _canonical_layer_idx
+
+    spec = ModelSpec.tiny(moe=True, num_layers=4, decoder_sparse_step=2)
+    kinds = [spec.layer_is_moe(i) for i in range(4)]
+    assert kinds == [False, True, False, True]  # interleaved
+    params = init_params(spec, jax.random.PRNGKey(0))
+    x = jnp.zeros((2, 8, spec.hidden_size), jnp.bfloat16)
+    pos = jnp.broadcast_to(jnp.arange(8)[None, :], (2, 8))
+
+    shared = 0
+    for i in range(4):
+        c = _canonical_layer_idx(spec, i)
+        assert spec.layer_kind(i) == spec.layer_kind(c)
+        if c == i:
+            continue
+        shared += 1
+        layer = params["layers"][i]
+        jx_i = jax.make_jaxpr(
+            lambda l, h, p, _i=i: apply_layer(l, spec, _i, h, p)[0]
+        )(layer, x, pos)
+        jx_c = jax.make_jaxpr(
+            lambda l, h, p, _c=c: apply_layer(l, spec, _c, h, p)[0]
+        )(layer, x, pos)
+        assert str(jx_i) == str(jx_c), (
+            f"apply_layer traces differ between layer {i} and its "
+            f"canonical same-kind layer {c}; spec.layer_kind must be "
+            f"extended to cover whatever distinguishes them")
+    assert shared == 2  # layers 2,3 shared onto 0,1
+
+
+def test_quantization_args_hash_with_unhashable_observer_kwargs():
+    """A YAML recipe can put a LIST inside observer_kwargs; args ride as
+    jit static args, so __hash__ must not raise (ADVICE r4 #3)."""
+    a = QuantizationArgs(num_bits=4, type=QuantType.INT, symmetric=True,
+                         strategy=QuantStrategy.GROUP, group_size=32,
+                         observer_kwargs={"percentiles": [0.01, 0.99]})
+    b = QuantizationArgs(num_bits=4, type=QuantType.INT, symmetric=True,
+                         strategy=QuantStrategy.GROUP, group_size=32,
+                         observer_kwargs={"percentiles": [0.01, 0.99]})
+    assert hash(a) == hash(b)
+    assert isinstance(hash(a), int)

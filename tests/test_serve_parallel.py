@@ -307,3 +307,34 @@ class TestPaddedQuantizedHead:
         np.testing.assert_allclose(np.asarray(head.bias[:vocab]), b,
                                    rtol=1e-2, atol=1e-2)
         assert float(jnp.abs(head.bias[vocab:]).max()) == 0.0
+
+
+class TestServingLayoutContract:
+    """The benched artifact must be the served artifact, by construction
+    (round-4 verdict #3): bench_moe builds through serve.session.
+    serving_layout, and the batcher's params are exactly that function's
+    output."""
+
+    def test_batcher_params_are_serving_layout(self, moe_model):
+        import jax.tree_util as jtu
+
+        from quantizers_tpu.serve.session import ContinuousBatcher, serving_layout
+
+        spec, params = moe_model
+        expected = serving_layout(spec, params)
+        b = ContinuousBatcher(spec, params, max_batch=2, max_len=32)
+        ls_e, td_e = jtu.tree_flatten(expected)
+        ls_b, td_b = jtu.tree_flatten(b.params)
+        assert td_e == td_b
+        for a, c in zip(ls_e, ls_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+    def test_bench_moe_builds_through_serving_layout(self):
+        # anti-drift pin: the MoE bench must keep building its measured
+        # model via the session's layout function (same drift class as the
+        # round-3 bench.py w8-head finding, fixed at bench.py:156)
+        import pathlib
+
+        src = (pathlib.Path(__file__).resolve().parent.parent
+               / "benchmarks" / "bench_moe.py").read_text()
+        assert "serving_layout(spec, params)" in src
