@@ -216,9 +216,13 @@ def main():
     D, Fe, E, k = (spec.hidden_size, spec.moe_intermediate_size,
                    spec.num_experts, spec.num_experts_per_tok)
     expert_bytes = 3 * (D * Fe // 2 + (D // 16) * Fe * 2)  # nvfp4 payload+scales
-    attn_bytes = sum(l["q_proj"].weight.size + l["k_proj"].weight.size
-                     + l["v_proj"].weight.size + l["o_proj"].weight.size
-                     for l in params["layers"]) if on_tpu else 0
+    # serving_layout fuses q/k/v into qkv_proj; payload bytes are identical
+    # either way (pure axis-1 concat of the packed-u8 weights)
+    attn_bytes = sum(
+        (l["qkv_proj"].weight.size if "qkv_proj" in l
+         else l["q_proj"].weight.size + l["k_proj"].weight.size
+         + l["v_proj"].weight.size) + l["o_proj"].weight.size
+        for l in params["layers"]) if on_tpu else 0
     routed = spec.num_layers * min(B * k, E) * expert_bytes
     kv_bytes = sum(c.k.size * c.k.dtype.itemsize * 2 for c in caches)
     # two rooflines, both reported (round-2 verdict weak #2):

@@ -160,17 +160,31 @@ def run_leg_worker(leg: str) -> None:
     wall = time.time() - t0
     st = result.stats
     scale = FULL_LAYERS / n_layers if on_tpu else 1.0
+    # Overhead-aware depth projection: layer 0 carries the jit compiles
+    # and each leg pays fixed init (model build, embedding) once, so a
+    # naive wall*(FULL/n) overestimates — by +43% at n=3 against the
+    # measured 36-layer run (lab_gptq_fulldepth.py, round 5). Projecting
+    # fixed + layer0 + median-marginal*(FULL-1) uses the stable per-layer
+    # cost the full run actually repeats.
+    layer_s = st.get("layer_s", [])
+    if on_tpu and len(layer_s) >= 2:
+        marginal = sum(layer_s[1:]) / len(layer_s[1:])
+        fixed = max(wall - sum(layer_s), 0.0)
+        full_wall = fixed + layer_s[0] + marginal * (FULL_LAYERS - 1)
+        eff_scale = full_wall / wall if wall > 0 else scale
+    else:
+        full_wall = wall * scale
+        eff_scale = scale
     out = {
         "leg": leg,
         "layers": n_layers,
-        "depth_scale": scale,
+        "depth_scale": round(eff_scale, 2),
         "wall_s": round(wall, 1),
         "capture_s": round(st.get("capture_s", 0.0), 1),
         "solve_s": round(st.get("solve_s", 0.0), 1),
         "propagate_s": round(st.get("propagate_s", 0.0), 1),
-        # layer-linear projection to the full 36-layer model (each engine
-        # stage processes layers independently)
-        "full_depth_wall_s": round(wall * scale, 1),
+        "layer_s": layer_s,
+        "full_depth_wall_s": round(full_wall, 1),
         "tensors": len(result.records),
         "calib_tokens": n_samples * seq,
     }

@@ -67,7 +67,10 @@ def main() -> None:
     sl = run_leg(slice_layers, timeout_s=max(900, timeout_s // 3))
     fl = run_leg(full_layers, timeout_s=timeout_s)
 
-    projected_full = sl["wall_s"] * (full_layers / slice_layers)
+    # the leg's own (overhead-aware) projection — fixed + layer0 +
+    # median-marginal*(FULL-1); naive wall*(36/slice) overestimated +43%
+    projected_full = sl["full_depth_wall_s"]
+    naive_projected = sl["wall_s"] * (full_layers / slice_layers)
     measured_full = fl["wall_s"]
     err = (projected_full - measured_full) / measured_full
 
@@ -86,6 +89,7 @@ def main() -> None:
         "full_stage_s": {"capture": fl["capture_s"], "solve": fl["solve_s"],
                          "propagate": fl["propagate_s"]},
         "projected_full_from_slice_s": round(projected_full, 1),
+        "naive_linear_projection_s": round(naive_projected, 1),
         "projection_error_pct": round(err * 100.0, 1),
         "ref_workload_projected_s_measured_anchor": round(ref_projected_s, 1),
         "ref_baseline_s": REF_GPTQ_S,

@@ -451,8 +451,10 @@ def oneshot(
             del layer
 
         if owned:
+            dt_layer = time.time() - t_layer
+            stage_s.setdefault("layer_s", []).append(round(dt_layer, 2))
             logger.info("layer %d: %d sites compressed in %.1fs", li, len(owned),
-                        time.time() - t_layer)
+                        dt_layer)
 
     if kv_scheme is not None and batches:
         divisor = kv_scheme.scale_divisor
