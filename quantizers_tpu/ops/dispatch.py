@@ -66,6 +66,18 @@ def quant_matmul(x: jax.Array, lin: QuantLinear, use_kernel: Optional[bool] = No
             return w8a8_token_matmul(x, lin)
     if use_kernel is None:
         use_kernel = _on_tpu() and lin.kind in _KERNEL_KINDS
+        # The Pallas kernels are DECODE kernels: they re-dequantize each
+        # weight tile once per 128-row m-block, which is optimal when the
+        # matmul is weight-bandwidth-bound (m <= ~512) and loses to
+        # dequant-once + MXU matmul as m grows (prefill/calibration:
+        # measured on v5e at m=4096 the XLA path is 1.4-2.0x faster —
+        # 69 vs 35 TF/s at K=9728, 44 vs 32 at N=9728; crossover sits
+        # between 512 and 1024 rows for every Qwen3-4B shape).
+        m = 1
+        for d in x.shape[:-1]:
+            m *= d
+        if m > 512:
+            use_kernel = False
     if use_kernel and lin.kind in _KERNEL_KINDS:
         from . import kernels
 
