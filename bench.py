@@ -144,24 +144,24 @@ def main() -> None:
         B, T_prefill, steps, max_len = 2, 16, 8, 64
         kind = "tiny_cpu_fallback"
 
-    from quantizers_tpu.models.transformer import fuse_for_decode, quantize_lm_head
+    from quantizers_tpu.serve.session import serving_layout
 
     t0 = time.time()
     params = build_params(spec, jax.random.PRNGKey(0))
-    params = fuse_for_decode(spec, params)  # qkv/gateup fused serving layout
-    params = jax.block_until_ready(params)
-    # roofline denominator: the recipe-faithful model bytes (bf16 tied head)
-    # — serving-layout choices below move only the numerator
+    # THE session layout pipeline (serve.session.serving_layout — fused
+    # qkv/gateup; head per head_bits): the benched artifact is the served
+    # artifact by construction for BOTH timed layouts. `value` is the
+    # serving default (w8-channel head, halves the 0.78 GB/step tied-head
+    # stream at Qwen3-4B geometry, near-lossless: ppl_protocol
+    # delta_w8_head << 4-bit deltas); `bf16_head` is the recipe-faithful
+    # layout (lm_head ignored per the reference recipe) whose bytes pin
+    # the roofline denominator — serving-layout choices move only the
+    # numerator.
+    raw = params
+    params = jax.block_until_ready(serving_layout(spec, raw))
     wbytes = weight_bytes(params)
-    # serving-default w8 logits head, built by the SAME API the session
-    # uses (models.transformer.quantize_lm_head — incl. the 1536 tile-pad
-    # rule and the explicit orig_n slice meta; no inline duplication).
-    # Halves the 0.78 GB/step tied-head stream at Qwen3-4B geometry; near-
-    # lossless (ppl_protocol delta_w8_head << 4-bit deltas). BOTH head
-    # layouts are timed below and reported in the JSON: `value` is the
-    # serving default (w8), `bf16_head` the recipe-faithful layout whose
-    # bytes pin the roofline denominator.
-    params_w8 = jax.block_until_ready(quantize_lm_head(spec, params))
+    params_w8 = jax.block_until_ready(
+        serving_layout(spec, raw, head_bits=8))
     log(f"params built in {time.time()-t0:.1f}s; weights+scales {wbytes/1e9:.2f} GB")
 
     caches = KVCache.init(spec, B, max_len)

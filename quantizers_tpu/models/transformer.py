@@ -569,7 +569,7 @@ def fuse_for_decode(spec: ModelSpec, params: Dict[str, Any]) -> Dict[str, Any]:
                 del lyr["q_proj"], lyr["k_proj"], lyr["v_proj"]
         except ValueError:
             pass
-        if "mlp" in lyr:
+        if "mlp" in lyr and "gate_proj" in lyr["mlp"]:  # idempotent
             mlp = dict(lyr["mlp"])
             try:
                 mlp["gateup_proj"] = concat_linears(

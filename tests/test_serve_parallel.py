@@ -329,12 +329,27 @@ class TestServingLayoutContract:
         for a, c in zip(ls_e, ls_b):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
 
-    def test_bench_moe_builds_through_serving_layout(self):
-        # anti-drift pin: the MoE bench must keep building its measured
-        # model via the session's layout function (same drift class as the
-        # round-3 bench.py w8-head finding, fixed at bench.py:156)
+    def test_benches_build_through_serving_layout(self):
+        # anti-drift pin: the benches must keep building their measured
+        # models via the session's layout function (same drift class as
+        # the round-3 bench.py w8-head finding)
         import pathlib
 
-        src = (pathlib.Path(__file__).resolve().parent.parent
-               / "benchmarks" / "bench_moe.py").read_text()
-        assert "serving_layout(spec, params)" in src
+        root = pathlib.Path(__file__).resolve().parent.parent
+        assert "serving_layout(spec, params)" in (
+            root / "benchmarks" / "bench_moe.py").read_text()
+        assert "serving_layout(spec, raw" in (root / "bench.py").read_text()
+
+    def test_fuse_for_decode_idempotent(self, model):
+        import jax.tree_util as jtu
+
+        from quantizers_tpu.models.transformer import fuse_for_decode
+
+        spec, params = model
+        once = fuse_for_decode(spec, params)
+        twice = fuse_for_decode(spec, once)
+        ls1, td1 = jtu.tree_flatten(once)
+        ls2, td2 = jtu.tree_flatten(twice)
+        assert td1 == td2
+        for a, b in zip(ls1, ls2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
