@@ -261,12 +261,15 @@ SECONDARY_BENCHES = (
     # orphans a leg subprocess on the chip. The full-depth 36-layer GPTQ
     # anchor run lives in benchmarks/lab_gptq_fulldepth.py (round-4
     # verdict item #4), not in the driver sweep.
-    # 64x2048 = the reference's dense calibration size — 16 samples was
-    # dispatch-overhead-dominated and the 256x token-linear projection
-    # amplified that overhead into a 0.85x-of-reference artifact
+    # FULL-depth GPTQ (36/36 layers — device-resident records brought the
+    # measured wall to ~211 s, so no depth projection is needed) at the
+    # reference's dense calibration size, plus a second 16-sample run in
+    # the same process: the two-point token fit projects the reference's
+    # 2048x4096 workload from measured numbers only
     ("bench_oneshot", {"QTPU_ONESHOT_SAMPLES": "64", "QTPU_ONESHOT_LEGS": "gptq",
-                       "QTPU_GPTQ_LAYERS": "3",
-                       "QTPU_ONESHOT_LEG_TIMEOUT": "380"}, 420),
+                       "QTPU_GPTQ_LAYERS": "36",
+                       "QTPU_ONESHOT_TWO_POINT": "16",
+                       "QTPU_ONESHOT_LEG_TIMEOUT": "440"}, 480),
 )
 SECONDARY_TIMEOUT_S = int(os.environ.get("QTPU_BENCH_SECONDARY_TIMEOUT", "300"))
 

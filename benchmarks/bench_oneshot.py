@@ -144,50 +144,77 @@ def run_leg_worker(leg: str) -> None:
     n_layers = _leg_layers(leg, on_tpu)
     spec = _make_spec(on_tpu, n_layers)
     n_samples, seq, batch_size = _calib_size(on_tpu)
-    rng = np.random.default_rng(0)
-    rows = [list(rng.integers(1, spec.vocab_size, size=seq))
-            for _ in range(n_samples)]
-    batches = make_batches(rows, max_seq_length=seq, batch_size=batch_size)
-    log(f"[{leg}] backend={backend} layers={n_layers} "
-        f"calibration {n_samples}x{seq} ({len(batches)} batches)")
-
-    params = jax.block_until_ready(init_params(spec, jax.random.PRNGKey(0)))
     recipe = parse_recipe(LEGS[leg])
-    t0 = time.time()
-    result = oneshot(spec, params, recipe, batches,
-                     moe_calibrate_all_experts=False)
-    jax.block_until_ready(result.params["layers"][0])
-    wall = time.time() - t0
-    st = result.stats
+    rng = np.random.default_rng(0)
+
+    def one_run(samples: int) -> dict:
+        rows = [list(rng.integers(1, spec.vocab_size, size=seq))
+                for _ in range(samples)]
+        batches = make_batches(rows, max_seq_length=seq, batch_size=batch_size)
+        log(f"[{leg}] backend={backend} layers={n_layers} "
+            f"calibration {samples}x{seq} ({len(batches)} batches)")
+        params = jax.block_until_ready(init_params(spec, jax.random.PRNGKey(0)))
+        t0 = time.time()
+        result = oneshot(spec, params, recipe, batches,
+                         moe_calibrate_all_experts=False)
+        jax.block_until_ready(result.params["layers"][0])
+        wall = time.time() - t0
+        st = result.stats
+        return {"wall_s": round(wall, 1), "stats": st,
+                "tensors": len(result.records),
+                "calib_tokens": samples * seq}
+
+    r1 = one_run(n_samples)
+    wall, st = r1["wall_s"], r1["stats"]
     scale = FULL_LAYERS / n_layers if on_tpu else 1.0
     # Overhead-aware depth projection: layer 0 carries the jit compiles
     # and each leg pays fixed init (model build, embedding) once, so a
     # naive wall*(FULL/n) overestimates — by +43% at n=3 against the
     # measured 36-layer run (lab_gptq_fulldepth.py, round 5). Projecting
-    # fixed + layer0 + median-marginal*(FULL-1) uses the stable per-layer
-    # cost the full run actually repeats.
+    # fixed + layer0 + mean-marginal*(FULL-1) uses the stable per-layer
+    # cost the full run actually repeats. (At n_layers == FULL the scale
+    # is exactly 1: the run IS the full-depth measurement.)
     layer_s = st.get("layer_s", [])
-    if on_tpu and len(layer_s) >= 2:
+    if n_layers == FULL_LAYERS or not on_tpu or len(layer_s) < 2:
+        full_wall = wall * scale
+        eff_scale = scale
+    else:
         marginal = sum(layer_s[1:]) / len(layer_s[1:])
         fixed = max(wall - sum(layer_s), 0.0)
         full_wall = fixed + layer_s[0] + marginal * (FULL_LAYERS - 1)
         eff_scale = full_wall / wall if wall > 0 else scale
-    else:
-        full_wall = wall * scale
-        eff_scale = scale
     out = {
         "leg": leg,
         "layers": n_layers,
         "depth_scale": round(eff_scale, 2),
-        "wall_s": round(wall, 1),
+        "wall_s": wall,
         "capture_s": round(st.get("capture_s", 0.0), 1),
         "solve_s": round(st.get("solve_s", 0.0), 1),
         "propagate_s": round(st.get("propagate_s", 0.0), 1),
         "layer_s": layer_s,
         "full_depth_wall_s": round(full_wall, 1),
-        "tensors": len(result.records),
-        "calib_tokens": n_samples * seq,
+        "tensors": r1["tensors"],
+        "calib_tokens": r1["calib_tokens"],
     }
+    # Two-point token fit (QTPU_ONESHOT_TWO_POINT=<samples2>): a second
+    # run at a different calibration size in the SAME process (compiles
+    # cached) separates token-linear cost from fixed+solve cost
+    # empirically — wall(t) = a + b*t — robust to the async-dispatch
+    # smearing that makes per-stage attribution unreliable. The fit is
+    # what the reference-workload projection should use.
+    two_point = os.environ.get("QTPU_ONESHOT_TWO_POINT")
+    if two_point:
+        samples2 = max(int(two_point), batch_size)
+        r2 = one_run(samples2)
+        t1, t2 = r1["calib_tokens"], r2["calib_tokens"]
+        if t1 != t2:
+            b = (r1["wall_s"] - r2["wall_s"]) / (t1 - t2)
+            a = r1["wall_s"] - b * t1
+            out["two_point"] = {
+                "wall2_s": r2["wall_s"], "calib_tokens2": t2,
+                "fixed_s": round(a, 1),
+                "s_per_token": round(b, 6),
+            }
     log(f"[{leg}] {json.dumps(out)}")
     print(json.dumps(out), flush=True)
 
@@ -228,15 +255,23 @@ def main() -> None:
 
     projected_s = vs = None
     if gptq and "error" not in gptq:
-        # project to the reference workload: token-linear stages scale with
-        # calibration tokens, per-site solves don't; everything scales
-        # layer-linearly to full depth.
         scale = gptq["depth_scale"]
-        token_linear_s = (gptq["capture_s"] + gptq["propagate_s"]) * scale
-        solve_s = gptq["solve_s"] * scale
-        projected_s = (token_linear_s
-                       * (REF_GPTQ_TOKENS / max(gptq["calib_tokens"], 1))
-                       + solve_s)
+        tp = gptq.get("two_point")
+        if tp and tp["s_per_token"] > 0 and tp["fixed_s"] >= 0:
+            # empirical token fit wall(t) = fixed + rate*t from two runs in
+            # one process — robust to async-dispatch smearing of the
+            # per-stage split (round-5 finding: capture_s absorbs solve
+            # execution once records stopped force-syncing every site)
+            projected_s = (tp["fixed_s"]
+                           + tp["s_per_token"] * REF_GPTQ_TOKENS) * scale
+        else:
+            # stage-split fallback: token-linear stages scale with tokens,
+            # per-site solves don't; depth scales layer-linearly
+            token_linear_s = (gptq["capture_s"] + gptq["propagate_s"]) * scale
+            solve_s = gptq["solve_s"] * scale
+            projected_s = (token_linear_s
+                           * (REF_GPTQ_TOKENS / max(gptq["calib_tokens"], 1))
+                           + solve_s)
         vs = REF_GPTQ_S / projected_s if projected_s > 0 else None
 
     print(json.dumps({

@@ -65,6 +65,9 @@ def default_output_dir(config_path: str, model_name: str, recipe: str) -> str:
 
 
 def main(argv=None) -> int:
+    from ..utils import enable_persistent_cache
+
+    enable_persistent_cache()  # first-seen XLA programs cost 1-40 s remote compile
     os.environ.setdefault("TOKENIZERS_PARALLELISM", "false")
     args = parse_args(argv)
     setup_logging(args.log_file, args.debug)

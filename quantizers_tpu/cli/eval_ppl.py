@@ -22,6 +22,9 @@ logger = logging.getLogger("quantizers_tpu.eval_ppl")
 
 
 def main(argv=None) -> int:
+    from ..utils import enable_persistent_cache
+
+    enable_persistent_cache()  # first-seen XLA programs cost 1-40 s remote compile
     p = argparse.ArgumentParser()
     p.add_argument("ckpt_dir")
     p.add_argument("text_file")

@@ -8,6 +8,9 @@ import sys
 
 
 def main(argv=None) -> int:
+    from ..utils import enable_persistent_cache
+
+    enable_persistent_cache()  # first-seen XLA programs cost 1-40 s remote compile
     p = argparse.ArgumentParser(description="Data-free PTQ over a local checkpoint")
     p.add_argument("model_dir")
     p.add_argument("save_directory")

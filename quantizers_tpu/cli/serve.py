@@ -33,6 +33,9 @@ logger = logging.getLogger("quantizers_tpu.serve")
 
 
 def main(argv=None) -> int:
+    from ..utils import enable_persistent_cache
+
+    enable_persistent_cache()  # first-seen XLA programs cost 1-40 s remote compile
     p = argparse.ArgumentParser(description="Continuous-batching generation")
     p.add_argument("ckpt_dir")
     p.add_argument("--prompt", action="append", default=[],

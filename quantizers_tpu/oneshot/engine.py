@@ -426,7 +426,22 @@ def oneshot(
         for mod, site, gname, scheme in owned:
             res: SiteResult = mod.compress(states[id(mod)], site, gname, scheme)
             site.set(res.new_linear)
-            records.update(res.records)
+            if host_mode:
+                # offload mode: quantized records leave HBM immediately —
+                # holding a 30B model's records on device would defeat the
+                # one-layer-in-HBM streaming plan
+                from .modifiers import _to_host
+
+                records.update({key: dataclasses.replace(cp, qt=_to_host(cp.qt))
+                                for key, cp in res.records.items()})
+            else:
+                # records stay DEVICE-resident (serialization downloads at
+                # write time); a one-element readback of the new linear
+                # still bounds the dispatch pipeline to ~one site's solve
+                # graph — the bulk download this replaces cost ~100 MB/layer
+                # at the tunnel's 16 MB/s, a third of the GPTQ wall
+                records.update(res.records)
+                np.asarray(res.new_linear.weight.ravel()[:1])
             extra_tensors.update(res.extra_tensors)
         stage_s["solve_s"] += time.time() - t_solve
 

@@ -84,25 +84,29 @@ def build_site_result(site: LinearSite, args: QuantizationArgs, group: str,
     ``input_activations``) is recorded on the device linear so serving
     computes with quantized activations where a native path exists (W8A8
     int8 MXU)."""
+    # Records and device linears are built from the DEVICE QuantizedTensor:
+    # the per-site _to_host download used to run inside the solve loop —
+    # ~100 MB/layer through the tunneled transport's 16 MB/s, a third of
+    # the GPTQ full-depth wall. Records stay device-resident; the engine
+    # converts them per layer under offload="host" (where evicting them IS
+    # the point), and the serialization layer np.asarray's at write time.
     if site.is_expert:
         el: ExpertLinears = site.get()
         new_lins: List[QuantLinear] = []
         records: Dict[str, CompressedParam] = {}
         for e in range(el.num_experts):
             qt_e = qt_per_expert[e] if qt_per_expert is not None else quantize(w_enk[e], args)
-            qt_host = _to_host(qt_e)
             bias = el.expert(e).bias
-            new_lins.append(from_quantized(qt_host, args, bias=bias,
+            new_lins.append(from_quantized(qt_e, args, bias=bias,
                                            act_args=act_args))
-            records[site.expert_prefix(e)] = CompressedParam(qt=qt_host, args=args, group=group)
+            records[site.expert_prefix(e)] = CompressedParam(qt=qt_e, args=args, group=group)
         return SiteResult(new_linear=ExpertLinears.stack(new_lins), records=records)
 
     lin: QuantLinear = site.get()
     if qt is None:
         qt = quantize(w_nk, args)
-    qt_host = _to_host(qt)
-    new_lin = from_quantized(qt_host, args, bias=lin.bias, act_args=act_args)
-    rec = CompressedParam(qt=qt_host, args=args, group=group,
+    new_lin = from_quantized(qt, args, bias=lin.bias, act_args=act_args)
+    rec = CompressedParam(qt=qt, args=args, group=group,
                           g_idx=None if g_idx is None else np.asarray(g_idx))
     return SiteResult(new_linear=new_lin, records={site.prefix: rec})
 

@@ -664,7 +664,29 @@ def _from_quantized_device(qt: QuantizedTensor, args: QuantizationArgs,
             meta = (("k", k), ("n", n), ("strategy", "tensor"))
         return QuantLinear(kind="fp8", weight=w8, scale=scale_t, meta=meta)
 
-    return None  # NVFP4 packing stays on host
+    if args.type == QuantType.FLOAT and args.num_bits == 4:
+        # NVFP4: encode E2M1 codes device-side (values are already snapped
+        # to the grid, so the ordinal threshold chain is exact) and pack
+        # split-half — mirrors formats.fp4_encode + the host packer below.
+        vt = qt.values.T.astype(jnp.float32)  # (K, N)
+        a = jnp.abs(vt)
+        mag = (
+            (a > 0.25).astype(jnp.uint8) + (a > 0.75).astype(jnp.uint8)
+            + (a > 1.25).astype(jnp.uint8) + (a > 1.75).astype(jnp.uint8)
+            + (a > 2.5).astype(jnp.uint8) + (a > 3.5).astype(jnp.uint8)
+            + (a > 5.0).astype(jnp.uint8))
+        codes = ((vt < 0).astype(jnp.uint8) << 3) | mag
+        if codes.shape[0] % 2:
+            codes = jnp.pad(codes, ((0, 1), (0, 0)))
+        half = codes.shape[0] // 2
+        packed = codes[:half] | (codes[half:] << 4)
+        gsc = qt.global_scale if qt.global_scale is not None else 1.0
+        eff = (scale / gsc).T  # (K/16, N)
+        return QuantLinear(
+            kind="nvfp4", weight=packed, scale=eff.astype(scale_dtype),
+            meta=(("k", k), ("n", n), ("group_size", int(args.group_size or 16))))
+
+    return None
 
 
 def from_quantized(

@@ -196,3 +196,38 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-v"]))
+
+
+class TestJitCache:
+    def test_enable_persistent_cache(self, tmp_path, monkeypatch):
+        import jax
+
+        import quantizers_tpu.utils.jitcache as jc
+
+        old = jax.config.jax_compilation_cache_dir
+        monkeypatch.setattr(jc, "_DONE", False)
+        d = str(tmp_path / "cache")
+        try:
+            assert jc.enable_persistent_cache(d) == d
+            import os
+
+            assert os.path.isdir(d)
+            # idempotent second call
+            assert jc.enable_persistent_cache(d) is not None
+        finally:  # tmp_path dies with the test; don't leave jax pointed at it
+            jax.config.update("jax_compilation_cache_dir", old)
+            monkeypatch.setattr(jc, "_DONE", False)
+
+    def test_disable_via_env(self, tmp_path, monkeypatch):
+        import quantizers_tpu.utils.jitcache as jc
+
+        monkeypatch.setattr(jc, "_DONE", False)
+        monkeypatch.setenv("QTPU_JIT_CACHE", "0")
+        assert jc.enable_persistent_cache(str(tmp_path / "x")) is None
+
+    def test_cli_entry_points_enable_cache(self):
+        import pathlib
+
+        cli = pathlib.Path(__file__).resolve().parent.parent / "quantizers_tpu" / "cli"
+        for name in ("do_oneshot", "serve", "eval_ppl", "model_free"):
+            assert "enable_persistent_cache" in (cli / f"{name}.py").read_text(), name

@@ -99,6 +99,7 @@ class TestLayouts:
         ("fp8_block", QuantizationArgs(num_bits=8, type=QuantType.FLOAT,
                                        strategy=QuantStrategy.BLOCK,
                                        block_structure=[32, 32])),
+        ("nvfp4", PRESET_SCHEMES["NVFP4"].weights),
     ])
     def test_device_path_matches_host_path(self, name, args):
         """from_quantized's device-resident fast path (no host round-trip —
