@@ -20,7 +20,8 @@ stage times. Reference baseline: the ~8 h GPTQ stage of
 RTX 5090 — ~6x more weights than Qwen3-4B; the JSON carries that caveat
 rather than pretending it away).
 
-Run: python benchmarks/lab_gptq_fulldepth.py       (~25 min on one v5e)
+Run: python benchmarks/lab_gptq_fulldepth.py       (~8 min on one v5e
+     since the round-5 device-resident-records change; ~25 min before)
 Env: QTPU_GPTQ_SLICE (default 4), QTPU_GPTQ_FULL (default 36),
      QTPU_ONESHOT_SAMPLES (default 16), QTPU_FULLDEPTH_TIMEOUT (s).
 """
