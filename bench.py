@@ -251,25 +251,29 @@ def _last_json_line(text: str):
 #: its ~8 h GPTQ stage). Each prints its own one-line JSON; failures are
 #: recorded, never fatal. Entries: (name, extra_env, timeout_s or None
 #: for the default).
+#: (record_key, script_name, extra_env, timeout_s or None for the default)
 SECONDARY_BENCHES = (
-    ("bench_moe", None, None),
-    ("bench_mla", None, None),
-    ("bench_fp8", None, None),
-    ("bench_prefill", None, None),
-    # GPTQ-only slice (the reference's own headline cost is its ~8 h GPTQ
-    # stage); leg self-bounds below the sweep ceiling so a timeout never
-    # orphans a leg subprocess on the chip. The full-depth 36-layer GPTQ
-    # anchor run lives in benchmarks/lab_gptq_fulldepth.py (round-4
-    # verdict item #4), not in the driver sweep.
-    # FULL-depth GPTQ (36/36 layers — device-resident records brought the
-    # measured wall to ~211 s, so no depth projection is needed) at the
-    # reference's dense calibration size, plus a second 16-sample run in
-    # the same process: the two-point token fit projects the reference's
-    # 2048x4096 workload from measured numbers only
-    ("bench_oneshot", {"QTPU_ONESHOT_SAMPLES": "64", "QTPU_ONESHOT_LEGS": "gptq",
-                       "QTPU_GPTQ_LAYERS": "36",
-                       "QTPU_ONESHOT_TWO_POINT": "16",
-                       "QTPU_ONESHOT_LEG_TIMEOUT": "440"}, 480),
+    ("bench_moe", "bench_moe", None, None),
+    ("bench_mla", "bench_mla", None, None),
+    ("bench_fp8", "bench_fp8", None, None),
+    ("bench_prefill", "bench_prefill", None, None),
+    # FULL-depth GPTQ (36/36 layers -- device-resident records brought the
+    # measured wall to ~147-211 s, so no depth projection is needed) at
+    # the reference's dense calibration size, plus a second 16-sample run
+    # in the same process: the two-point token fit projects the
+    # reference's 2048x4096 workload from measured numbers only. The leg
+    # self-bounds below the sweep ceiling so a timeout never orphans a
+    # subprocess on the chip.
+    ("bench_oneshot_gptq", "bench_oneshot",
+     {"QTPU_ONESHOT_SAMPLES": "64", "QTPU_ONESHOT_LEGS": "gptq",
+      "QTPU_GPTQ_LAYERS": "36", "QTPU_ONESHOT_TWO_POINT": "16",
+      "QTPU_ONESHOT_LEG_TIMEOUT": "440"}, 480),
+    # FULL-depth AWQ -- measured 122.6 s at 64x2048; cheap enough to
+    # certify in the driver record every round
+    ("bench_oneshot_awq", "bench_oneshot",
+     {"QTPU_ONESHOT_SAMPLES": "64", "QTPU_ONESHOT_LEGS": "awq",
+      "QTPU_AWQ_LAYERS": "36",
+      "QTPU_ONESHOT_LEG_TIMEOUT": "280"}, 320),
 )
 SECONDARY_TIMEOUT_S = int(os.environ.get("QTPU_BENCH_SECONDARY_TIMEOUT", "300"))
 
@@ -284,8 +288,8 @@ def _run_secondary_benches(headline: dict):
         return
     root = os.path.dirname(os.path.abspath(__file__))
     out = {}
-    for name, extra_env, timeout_override in SECONDARY_BENCHES:
-        path = os.path.join(root, "benchmarks", f"{name}.py")
+    for name, script, extra_env, timeout_override in SECONDARY_BENCHES:
+        path = os.path.join(root, "benchmarks", f"{script}.py")
         timeout_s = timeout_override or SECONDARY_TIMEOUT_S
         env = dict(os.environ, **(extra_env or {}))
         log(f"[bench] secondary {name} (timeout {timeout_s}s)")

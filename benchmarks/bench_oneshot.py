@@ -274,6 +274,23 @@ def main() -> None:
                            + solve_s)
         vs = REF_GPTQ_S / projected_s if projected_s > 0 else None
 
+    if (gptq is None and awq is not None and "error" not in awq):
+        # AWQ-only invocation (the driver sweep's second oneshot slot):
+        # the reference publishes no AWQ wall-time baseline (only the
+        # >1 TB host-RAM failure mode), so the measured full-depth wall
+        # IS the record — no vs_baseline.
+        print(json.dumps({
+            "metric": f"oneshot_awq_calibration_full_depth_s_{kind}",
+            "value": awq["full_depth_wall_s"],
+            "unit": f"s ({awq['layers']} layers, {awq['calib_tokens']} tokens)",
+            "vs_baseline": None,
+            "ref_baseline": ">1 TB host RAM for AWQ capture at 128x2048 "
+                            "(main_devstral-gptq.py:50-52); stats here are "
+                            "device-resident and bounded",
+            "awq": awq,
+        }))
+        return
+
     print(json.dumps({
         "metric": f"oneshot_gptq_calibration_projected_s_{kind}",
         "value": None if projected_s is None else round(projected_s, 1),
