@@ -466,6 +466,25 @@ class TestHostOffload:
         for leaf in _jax.tree_util.tree_leaves(res.params["layers"]):
             assert isinstance(leaf, np.ndarray), type(leaf)
 
+    def test_record_residency_tracks_offload_mode(self, dense):
+        """Records stay DEVICE-resident in the default pipeline (the
+        per-site host download through a ~16 MB/s tunnel was a third of
+        the GPTQ wall; serialization downloads at write time) but must be
+        HOST-resident under offload='host' — keeping a 30B model's
+        records in HBM would defeat the one-layer-in-HBM streaming."""
+        import jax as _jax
+
+        spec, params = dense
+        recipe = _recipe("QuantizationModifier")
+        res_dev = oneshot(spec, _clone(params), recipe, _tiny_batches(spec))
+        assert all(isinstance(cp.qt.values, _jax.Array)
+                   and not isinstance(cp.qt.values, np.ndarray)
+                   for cp in res_dev.records.values())
+        res_host = oneshot(spec, _clone(params), recipe, _tiny_batches(spec),
+                           offload="host")
+        assert all(isinstance(cp.qt.values, np.ndarray)
+                   for cp in res_host.records.values())
+
     def test_bad_offload_rejected(self, dense):
         spec, params = dense
         with pytest.raises(ValueError, match="offload"):
