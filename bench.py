@@ -268,12 +268,18 @@ SECONDARY_BENCHES = (
      {"QTPU_ONESHOT_SAMPLES": "64", "QTPU_ONESHOT_LEGS": "gptq",
       "QTPU_GPTQ_LAYERS": "36", "QTPU_ONESHOT_TWO_POINT": "16",
       "QTPU_ONESHOT_LEG_TIMEOUT": "440"}, 480),
-    # FULL-depth AWQ -- measured 122.6 s at 64x2048; cheap enough to
+    # FULL-depth AWQ -- measured 92-127 s at 64x2048; cheap enough to
     # certify in the driver record every round
     ("bench_oneshot_awq", "bench_oneshot",
      {"QTPU_ONESHOT_SAMPLES": "64", "QTPU_ONESHOT_LEGS": "awq",
       "QTPU_AWQ_LAYERS": "36",
       "QTPU_ONESHOT_LEG_TIMEOUT": "280"}, 320),
+    # FULL-depth AutoRound (the reference recipe's MLP-only targets,
+    # 200 iters) -- measured 80.7 s after the device-side row sampler
+    ("bench_oneshot_ar", "bench_oneshot",
+     {"QTPU_ONESHOT_SAMPLES": "64", "QTPU_ONESHOT_LEGS": "ar",
+      "QTPU_AR_LAYERS": "36",
+      "QTPU_ONESHOT_LEG_TIMEOUT": "220"}, 260),
 )
 SECONDARY_TIMEOUT_S = int(os.environ.get("QTPU_BENCH_SECONDARY_TIMEOUT", "300"))
 

@@ -90,7 +90,20 @@ quant_stage:
       ignore: ["lm_head"]
 """
 
-LEGS = {"awq": AWQ_RECIPE, "gptq": GPTQ_RECIPE}
+AR_RECIPE = """
+quant_stage:
+  quant_modifiers:
+    AutoRoundModifier:
+      iters: 200
+      config_groups:
+        group_0:
+          targets: ["re:.*mlp\\\\.(gate|up|down)_proj$"]
+          weights: {num_bits: 4, type: int, symmetric: true,
+                    strategy: group, group_size: 32}
+      ignore: ["lm_head"]
+"""  # MLP-only targets + 200 iters: the reference recipe_AR_W4A16G32.yaml
+
+LEGS = {"awq": AWQ_RECIPE, "gptq": GPTQ_RECIPE, "ar": AR_RECIPE}
 
 
 def _leg_layers(leg: str, on_tpu: bool) -> int:
@@ -98,6 +111,8 @@ def _leg_layers(leg: str, on_tpu: bool) -> int:
         return 2
     if leg == "gptq":
         return int(os.environ.get("QTPU_GPTQ_LAYERS", "18"))
+    if leg == "ar":
+        return int(os.environ.get("QTPU_AR_LAYERS", str(FULL_LAYERS)))
     return int(os.environ.get("QTPU_AWQ_LAYERS", str(FULL_LAYERS)))
 
 
@@ -273,6 +288,21 @@ def main() -> None:
                            * (REF_GPTQ_TOKENS / max(gptq["calib_tokens"], 1))
                            + solve_s)
         vs = REF_GPTQ_S / projected_s if projected_s > 0 else None
+
+    ar = results.get("ar")
+    if gptq is None and awq is None and ar is not None and "error" not in ar:
+        # AutoRound-only slot: measured full-depth wall at the reference
+        # recipe's MLP-only targets + 200 iters; no reference wall-time
+        # baseline exists for AutoRound.
+        print(json.dumps({
+            "metric": f"oneshot_autoround_calibration_full_depth_s_{kind}",
+            "value": ar["full_depth_wall_s"],
+            "unit": f"s ({ar['layers']} layers, {ar['calib_tokens']} tokens, "
+                    "200 iters, MLP-only per the reference recipe)",
+            "vs_baseline": None,
+            "ar": ar,
+        }))
+        return
 
     if (gptq is None and awq is not None and "error" not in awq):
         # AWQ-only invocation (the driver sweep's second oneshot slot):

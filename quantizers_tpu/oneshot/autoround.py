@@ -124,35 +124,50 @@ class AutoRoundModifier(Modifier):
         state["rows"] = {}
         return state
 
-    def _keep(self, state, key: str, x2: np.ndarray) -> None:
+    def _keep(self, state, key: str, x2, mask, valid_rows) -> None:
+        """Subsample ``take`` valid rows ON DEVICE (awq._observe_stats) —
+        the numpy path this replaces downloaded every captured activation
+        block before subsampling: ~2.3 GB/layer through the tunneled
+        transport's 16 MB/s, which made AutoRound's capture stage alone
+        218 s/layer (round-5 measurement)."""
+        from .awq import _observe_stats
+
         kept = state["rows"].get(key, 0)
         if kept >= MAX_ROWS:
             return
-        take = min(MAX_ROWS - kept, x2.shape[0])
-        idx = np.linspace(0, x2.shape[0] - 1, take).astype(np.int64)
-        state["X"].setdefault(key, []).append(x2[idx])
+        rows_total = int(np.prod(x2.shape[:-1]))
+        masked = mask is not None and int(np.prod(mask.shape)) == rows_total
+        n_valid = valid_rows if (masked and valid_rows is not None) else rows_total
+        take = min(MAX_ROWS - kept, n_valid)
+        if take <= 0:
+            return
+        _, _, rows = _observe_stats(
+            jnp.asarray(x2), jnp.asarray(mask) if masked else jnp.zeros((1,)),
+            take=take, masked=masked)
+        state["X"].setdefault(key, []).append(rows)  # device (take, K)
         state["rows"][key] = kept + take
 
     def observe(self, state, site: LinearSite, x_in, mask, capture) -> None:
         super().observe(state, site, x_in, mask, capture)
+        vr = capture.get("_valid_rows")
         if site.is_expert and x_in.ndim == 3:
-            xs = np.asarray(x_in.astype(jnp.float32))
-            for e in range(xs.shape[0]):
-                self._keep(state, site.expert_prefix(e), xs[e])
+            for e in range(x_in.shape[0]):
+                self._keep(state, site.expert_prefix(e), x_in[e], mask, vr)
             return
-        x2 = np.asarray(x_in.astype(jnp.float32)).reshape(-1, x_in.shape[-1])
-        if mask is not None:
-            m = np.asarray(mask).reshape(-1) > 0
-            if m.shape[0] == x2.shape[0]:
-                x2 = x2[m]
-        self._keep(state, site.prefix, x2)
+        self._keep(state, site.prefix, x_in.reshape(-1, x_in.shape[-1]),
+                   mask, vr)
 
-    def _rows_for(self, state, key: str, k: int) -> np.ndarray:
+    def sync_arrays(self, state):
+        # newest device row block per site — reading an element barriers
+        # the observe subsampling enqueued so far (engine pipeline bound)
+        return [blocks[-1] for blocks in state["X"].values() if blocks]
+
+    def _rows_for(self, state, key: str, k: int) -> jnp.ndarray:
         blocks = state["X"].get(key)
         if not blocks:
             logger.warning("AutoRound: no activations for %s; using unit rows", key)
-            return np.ones((1, k), np.float32)
-        return np.concatenate(blocks, axis=0)
+            return jnp.ones((1, k), jnp.float32)
+        return jnp.concatenate([jnp.asarray(b) for b in blocks], axis=0)
 
     def compress(self, state, site: LinearSite, group: str,
                  scheme: QuantScheme) -> SiteResult:
