@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.numerics import quantize
+from ..core.numerics import QuantizedTensor, quantize
 from ..core.scheme import QuantizationArgs, QuantScheme
 from ..formats.checkpoint import CompressedParam
 from ..models.moe import ExpertLinears
@@ -70,6 +70,59 @@ def _to_host(qt):
     )
 
 
+def _quantize_expert_stack(el, w_enk: jnp.ndarray, args: QuantizationArgs,
+                           act_args: Optional[QuantizationArgs]):
+    """RTN-quantize a whole (E, N, K) expert stack with ONE vmapped
+    program instead of a per-expert Python loop.
+
+    A 64-expert MoE block dispatches ~3000 small ops through the
+    per-expert path (quantize + relayout per expert per stack) — ~11.5 s
+    per layer of pure enqueue overhead through the tunneled transport
+    (round-5 measurement at Qwen3-30B-A3B geometry). The vmapped path
+    dispatches one batched program per stack. Returns
+    ``(ExpertLinears, [per-expert QuantizedTensor slices])`` or None when
+    the layout has no device relayout (callers keep the loop)."""
+    import jax as _jax
+
+    from ..ops.linear import _from_quantized_device
+
+    E, N, K = w_enk.shape
+    meta_cell: List[Any] = []
+
+    def one(w):
+        qt = quantize(w, args)
+        lin = _from_quantized_device(qt, args, jnp.bfloat16, act_args, N, K)
+        if lin is None:
+            return None
+        if not meta_cell:  # trace-time capture: vmap traces `one` once
+            meta_cell.append((lin.kind, lin.meta))
+        out = {"v": qt.values, "s": qt.scale, "lw": lin.weight,
+               "ls": lin.scale}
+        if qt.zero_point is not None:
+            out["zp"] = qt.zero_point
+        if qt.global_scale is not None:
+            out["gs"] = qt.global_scale
+        if lin.zero_point is not None:
+            out["lzp"] = lin.zero_point
+        return out
+
+    # probe the layout support on one expert's abstract shapes (no compute)
+    probe = _jax.eval_shape(one, _jax.ShapeDtypeStruct((N, K), jnp.float32))
+    if probe is None:
+        return None
+    meta_cell.clear()
+    r = _jax.vmap(one)(w_enk.astype(jnp.float32))
+    kind, meta = meta_cell[0]
+    new_el = ExpertLinears(kind=kind, weight=r["lw"], scale=r["ls"],
+                           zero_point=r.get("lzp"), bias=el.bias, meta=meta)
+    qts = [QuantizedTensor(
+        values=r["v"][e], scale=r["s"][e],
+        zero_point=None if "zp" not in r else r["zp"][e],
+        global_scale=None if "gs" not in r else r["gs"][e],
+        shape=(N, K)) for e in range(E)]
+    return new_el, qts
+
+
 def build_site_result(site: LinearSite, args: QuantizationArgs, group: str,
                       w_nk: Optional[jnp.ndarray] = None,
                       w_enk: Optional[jnp.ndarray] = None,
@@ -92,6 +145,13 @@ def build_site_result(site: LinearSite, args: QuantizationArgs, group: str,
     # the point), and the serialization layer np.asarray's at write time.
     if site.is_expert:
         el: ExpertLinears = site.get()
+        if qt_per_expert is None and w_enk is not None:
+            stacked = _quantize_expert_stack(el, w_enk, args, act_args)
+            if stacked is not None:
+                return SiteResult(new_linear=stacked[0], records={
+                    site.expert_prefix(e): CompressedParam(qt=stacked[1][e],
+                                                           args=args, group=group)
+                    for e in range(el.num_experts)})
         new_lins: List[QuantLinear] = []
         records: Dict[str, CompressedParam] = {}
         for e in range(el.num_experts):
