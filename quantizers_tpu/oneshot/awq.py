@@ -161,7 +161,13 @@ def _search_losses(x_j, x_mean_j, w_mean_j, bweights, ratios, *,
             total = total + jnp.mean((y_ref - y_q) ** 2)
         return total
 
-    return jax.vmap(loss_for)(ratios)
+    # sequential over the grid: one candidate's fake-quant intermediates
+    # live at a time (~|bweights| (N,K) f32 buffers). vmap batched all 20
+    # candidates — at MoE expert-stack geometry (3x (64*768, 2048) f32
+    # balance weights) that is a ~24 GB peak which crashed the TPU
+    # compile helper outright; the loss is matmul-bound so the serial
+    # map costs nothing.
+    return jax.lax.map(loss_for, ratios)
 
 
 def _search_scale(x_rows: np.ndarray, x_mean: np.ndarray, w_mean: np.ndarray,
