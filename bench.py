@@ -94,11 +94,19 @@ def build_params(spec, key):
 
 def weight_bytes(params) -> int:
     import jax
+    import jax.numpy as jnp
 
-    total = 0
+    total = 0.0
     for leaf in jax.tree_util.tree_leaves(params):
-        total += leaf.size * leaf.dtype.itemsize
-    return total
+        # sub-byte dtypes report itemsize 1; on real TPUs serving_layout
+        # holds w4 weights as jnp.int4, which would double-count the
+        # roofline denominator (latent on the tunneled box, where the
+        # packed-u8 layout is kept)
+        if leaf.dtype == jnp.int4:
+            total += leaf.size * 0.5
+        else:
+            total += leaf.size * leaf.dtype.itemsize
+    return int(total)
 
 
 def main() -> None:
@@ -162,6 +170,8 @@ def main() -> None:
     wbytes = weight_bytes(params)
     params_w8 = jax.block_until_ready(
         serving_layout(spec, raw, head_bits=8))
+    del raw  # free the unfused originals: three full model copies would
+    #          otherwise stay live through both timed decode runs
     log(f"params built in {time.time()-t0:.1f}s; weights+scales {wbytes/1e9:.2f} GB")
 
     caches = KVCache.init(spec, B, max_len)

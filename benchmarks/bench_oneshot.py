@@ -26,10 +26,11 @@ model on one TPU chip and reports:
 
 Each leg runs in its own SUBPROCESS: the tunneled TPU server does not
 promptly reclaim a dead/OOMed client's memory, so leg isolation keeps one
-leg's residue from starving the next. The GPTQ leg runs at reduced depth
-(QTPU_GPTQ_LAYERS, default 18 of 36) and scales layer-linearly — every
-engine stage processes layers independently, so cost is exactly linear in
-depth; the raw half-depth numbers are reported alongside.
+leg's residue from starving the next. Since round 5 the driver sweep runs
+every leg at FULL depth (36/36 — device-resident records made that ~2-4
+minutes) and the GPTQ leg adds a second smaller run in the same process
+for a measured two-point token fit; reduced-depth runs remain supported
+via QTPU_{GPTQ,AWQ,AR}_LAYERS with an overhead-aware projection.
 
 Model weights are synthetic (calibration speed is content-independent).
 Prints ONE JSON line like bench.py.
@@ -309,7 +310,7 @@ def main() -> None:
         # the reference publishes no AWQ wall-time baseline (only the
         # >1 TB host-RAM failure mode), so the measured full-depth wall
         # IS the record — no vs_baseline.
-        print(json.dumps({
+        out = {
             "metric": f"oneshot_awq_calibration_full_depth_s_{kind}",
             "value": awq["full_depth_wall_s"],
             "unit": f"s ({awq['layers']} layers, {awq['calib_tokens']} tokens)",
@@ -318,7 +319,10 @@ def main() -> None:
                             "(main_devstral-gptq.py:50-52); stats here are "
                             "device-resident and bounded",
             "awq": awq,
-        }))
+        }
+        if ar is not None:  # a combined awq,ar run must not drop the leg
+            out["ar"] = ar
+        print(json.dumps(out))
         return
 
     print(json.dumps({
@@ -334,6 +338,7 @@ def main() -> None:
         "ref_model_size_ratio": "~6x larger reference model — scale accordingly",
         "awq": awq,
         "gptq": gptq,
+        **({"ar": ar} if ar is not None else {}),
     }))
 
 

@@ -158,8 +158,16 @@ class AutoRoundModifier(Modifier):
                    mask, vr)
 
     def sync_arrays(self, state):
-        # newest device row block per site — reading an element barriers
-        # the observe subsampling enqueued so far (engine pipeline bound)
+        # newest device row blocks — reading an element barriers the
+        # observe subsampling enqueued so far (engine pipeline bound).
+        # Once every site's MAX_ROWS budget is full, later batches enqueue
+        # NOTHING here: return [] so the engine falls back to its
+        # capture-readback dispatch bound instead of "syncing" on stale,
+        # already-computed blocks (which would bound nothing).
+        cur = dict(state["rows"])
+        if cur == state.get("_synced_rows"):
+            return []
+        state["_synced_rows"] = cur
         return [blocks[-1] for blocks in state["X"].values() if blocks]
 
     def _rows_for(self, state, key: str, k: int) -> jnp.ndarray:

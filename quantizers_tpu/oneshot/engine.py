@@ -403,7 +403,10 @@ def oneshot(
                 if sync_every and (bi + 1) % sync_every == 0:
                     synced = False
                     for mod in modifiers:
-                        for arr in mod.sync_arrays(states[id(mod)]):
+                        st = states.get(id(mod))  # unmatched modifiers
+                        if st is None:            # have no layer state
+                            continue
+                        for arr in mod.sync_arrays(st):
                             np.asarray(arr.ravel()[:1])
                             synced = True
                     if not synced:

@@ -123,7 +123,7 @@ def _gptq_solve(W: jnp.ndarray, Hinv_u: jnp.ndarray, scale: jnp.ndarray,
     return Q
 
 
-@partial(jax.jit, donate_argnums=(0,))
+@jax.jit
 def _ufactor(H: jnp.ndarray, dampening_frac: jnp.ndarray) -> jnp.ndarray:
     """Damped H → upper-triangular U with H⁻¹ = UᵀU, in ONE program —
     the DEFAULT on TPU (keeps the 378 MB K=9728 Hessian on device; the
@@ -134,9 +134,10 @@ def _ufactor(H: jnp.ndarray, dampening_frac: jnp.ndarray) -> jnp.ndarray:
     B = L_b L_bᵀ, U = J L_b⁻¹ J is upper and H⁻¹ = UᵀU. One Cholesky + one
     blocked triangular solve. Memory discipline (the old chol+cho_solve+
     chol chain held ~8 live (K, K) f32 buffers and OOMed a 16 GB chip at
-    K=9728): H is donated, and the identity RHS is solved in K×1216 column
-    blocks under ``lax.scan`` so peak live state is B/Lb + the output —
-    ~3 (K, K) buffers."""
+    K=9728): the identity RHS is solved in K×1216 column blocks under
+    ``lax.scan`` so peak live state is ~4 (K, K) buffers. H is NOT
+    donated: the caller's host-LAPACK fallback needs it intact if this
+    program fails at execution time."""
     K = H.shape[0]
     damp = dampening_frac * jnp.mean(jnp.diag(H))
     B = (H + damp * jnp.eye(K, dtype=jnp.float32))[::-1, ::-1]
@@ -175,15 +176,15 @@ def _blas_threads():
 
 
 def _ufactor_host(H: np.ndarray, dampening_frac: float) -> np.ndarray:
-    """Host (LAPACK, f64) version of :func:`_ufactor` — the DEFAULT on TPU.
+    """Host (LAPACK, f64) version of :func:`_ufactor` — the FALLBACK when
+    the device factor fails at compile time, and the forced path under
+    ``QTPU_GPTQ_FACTOR=host``.
 
-    Large cholesky/triangular-solve chains are a poor fit for the TPU's
-    systolic/vector units (XLA lowers them to long serial loops), and on
-    the tunneled backend the device chain reproducibly exhausted backend
-    resources at calibration geometry. The factor is a one-time cost per
-    distinct Hessian (deduped via ``ufactor_cache``); multi-core LAPACK at
-    K=9728 replaces the fragile device program. Select the device path
-    with QTPU_GPTQ_FACTOR=device.
+    The device factor is the default since round 5 (the host path costs
+    ~35 s of H-download + U-upload per K=9728 factor through the
+    ~16-35 MB/s tunnel); this path remains for backends where the blocked
+    device chain exhausts resources. The factor is a one-time cost per
+    distinct Hessian (deduped via ``ufactor_cache``).
 
     Uses the exchange-matrix identity ``U = J·chol_lower(J H J)⁻¹·J``
     (J = anti-diagonal flip): with B = JHJ and B = L_b L_bᵀ,
@@ -248,7 +249,8 @@ def gptq_quantize(w_nk: jnp.ndarray, H: jnp.ndarray, args: QuantizationArgs,
         W_perm = W
 
     # upper-triangular factor U of H⁻¹ with H⁻¹ = UᵀU: U = chol(H⁻¹)ᵀ.
-    # Host LAPACK by default (see _ufactor_host); device opt-in.
+    # DEVICE by default (zero tunnel transfers; see _ufactor) with host
+    # LAPACK fallback; QTPU_GPTQ_FACTOR=host forces the host path.
     full_key = None if cache_key is None else (
         cache_key, args.actorder, float(dampening_frac))
     if ufactor_cache is not None and full_key in ufactor_cache:

@@ -782,3 +782,22 @@ def test_quantization_args_hash_with_unhashable_observer_kwargs():
                          observer_kwargs={"percentiles": [0.01, 0.99]})
     assert hash(a) == hash(b)
     assert isinstance(hash(a), int)
+
+
+def test_multi_modifier_with_unmatched_modifier_and_sync(dense, monkeypatch):
+    """A sequential recipe where one modifier matches NO sites in the
+    decoder layers must not crash the capture-pipeline barrier: the sync
+    loop reads modifier states, and an unmatched modifier has none
+    (round-5 review finding — KeyError at states[id(mod)])."""
+    monkeypatch.setenv("QTPU_CAPTURE_SYNC_EVERY", "1")  # barrier every batch
+    spec, params = dense
+    recipe = parse_recipe({"quant_stage": {"quant_modifiers": {
+        "GPTQModifier": {"config_groups": {"group_0": {
+            "targets": ["re:.*self_attn.*"],
+            "weights": dict(W4G32["weights"])}}, "ignore": ["lm_head"]},
+        "QuantizationModifier": {"config_groups": {"group_1": {
+            "targets": ["lm_head"],
+            "weights": dict(W4G32["weights"])}}},
+    }}})
+    res = oneshot(spec, _clone(params), recipe, _tiny_batches(spec))
+    assert res.records  # attention sites got quantized; no KeyError
