@@ -47,7 +47,6 @@ from functools import partial  # noqa: E402
 from quantizers_tpu.models import KVCache, ModelSpec  # noqa: E402
 from quantizers_tpu.models.transformer import (  # noqa: E402
     forward,
-    fuse_for_decode,
     mla_absorb_layout,
 )
 from quantizers_tpu.ops.linear import (  # noqa: E402
@@ -176,16 +175,19 @@ def main():
         from quantizers_tpu.models import init_params
 
         params = init_params(spec, jax.random.PRNGKey(0))
-    params = fuse_for_decode(spec, params)
-    params = jax.block_until_ready(params)
-    # rooflines stay pinned to the model's bf16 tied head; the serving-
-    # default w8 padded head moves only the numerator
+    # THE session layout pipeline (serve.session.serving_layout): the
+    # benched artifact is the served artifact by construction. Rooflines
+    # stay pinned to the model's bf16 tied head; the w8 padded head
+    # (head_bits=8) moves only the numerator.
+    from quantizers_tpu.serve.session import serving_layout
+
+    raw = params
+    params = jax.block_until_ready(serving_layout(spec, raw))
     resident, ideal = streamed_bytes(params)
     if on_tpu:
-        from quantizers_tpu.models.transformer import quantize_lm_head
-
-        params = jax.block_until_ready(quantize_lm_head(spec, params))
+        params = jax.block_until_ready(serving_layout(spec, raw, head_bits=8))
         log("serving layout: w8 padded logits head")
+    del raw
     log(f"params built in {time.time()-t0:.0f}s; bf16-resident stream "
         f"{resident/1e9:.2f} GB/step (fp8-ideal {ideal/1e9:.2f})")
 

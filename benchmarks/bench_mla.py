@@ -35,7 +35,7 @@ sys.path.insert(0, ".")
 from bench import HBM_GBPS, make_w4_linear, weight_bytes  # noqa: E402
 
 from quantizers_tpu.models import KVCache, ModelSpec  # noqa: E402
-from quantizers_tpu.models.transformer import fuse_for_decode  # noqa: E402
+# (serving layout comes from serve.session.serving_layout)
 from quantizers_tpu.ops.linear import dense_linear  # noqa: E402
 from quantizers_tpu.serve.engine import _decode_scan, prefill  # noqa: E402
 
@@ -104,16 +104,19 @@ def main():
         from quantizers_tpu.models import init_params
 
         params = init_params(spec, jax.random.PRNGKey(0))
-    params = fuse_for_decode(spec, params)
-    params = jax.block_until_ready(params)
-    # roofline denominator: the recipe-faithful model bytes (bf16 tied
-    # head); the serving-default w8 padded head moves only the numerator
+    # THE session layout pipeline (serve.session.serving_layout): the
+    # benched artifact is the served artifact by construction. Roofline
+    # denominator: the recipe-faithful model bytes (bf16 tied head); the
+    # w8 padded head (head_bits=8) moves only the numerator.
+    from quantizers_tpu.serve.session import serving_layout
+
+    raw = params
+    params = jax.block_until_ready(serving_layout(spec, raw))
     wbytes = weight_bytes(params)
     if on_tpu:
-        from quantizers_tpu.models.transformer import quantize_lm_head
-
-        params = jax.block_until_ready(quantize_lm_head(spec, params))
+        params = jax.block_until_ready(serving_layout(spec, raw, head_bits=8))
         log("serving layout: w8 padded logits head")
+    del raw
     log(f"params {wbytes/1e9:.2f} GB in {time.time()-t0:.0f}s")
 
     caches = KVCache.init(spec, B, MAX_LEN)

@@ -330,15 +330,18 @@ class TestServingLayoutContract:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
 
     def test_benches_build_through_serving_layout(self):
-        # anti-drift pin: the benches must keep building their measured
-        # models via the session's layout function (same drift class as
-        # the round-3 bench.py w8-head finding)
+        # anti-drift pin: every decode bench must keep building its
+        # measured model via the session's layout function (same drift
+        # class as the round-3 bench.py w8-head finding)
         import pathlib
 
         root = pathlib.Path(__file__).resolve().parent.parent
         assert "serving_layout(spec, params)" in (
             root / "benchmarks" / "bench_moe.py").read_text()
         assert "serving_layout(spec, raw" in (root / "bench.py").read_text()
+        for name in ("bench_mla", "bench_fp8"):
+            assert "serving_layout(spec, raw" in (
+                root / "benchmarks" / f"{name}.py").read_text(), name
 
     def test_fuse_for_decode_idempotent(self, model):
         import jax.tree_util as jtu
