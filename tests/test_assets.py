@@ -231,3 +231,22 @@ class TestJitCache:
         cli = pathlib.Path(__file__).resolve().parent.parent / "quantizers_tpu" / "cli"
         for name in ("do_oneshot", "serve", "eval_ppl", "model_free"):
             assert "enable_persistent_cache" in (cli / f"{name}.py").read_text(), name
+
+
+def test_bench_weight_bytes_counts_subbyte_dtypes():
+    """Roofline denominator: jnp.int4 leaves report itemsize 1 but hold
+    half a byte per element — weight_bytes must halve them or the w4
+    roofline goes 2x off on real TPUs where serving_layout keeps the
+    signed-int4 at-rest layout (round-5 review finding)."""
+    import sys
+
+    import jax.numpy as jnp
+    import pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    from bench import weight_bytes
+
+    tree = {"a": jnp.zeros((64, 128), jnp.int4),
+            "b": jnp.zeros((64, 128), jnp.int8),
+            "c": jnp.zeros((64,), jnp.bfloat16)}
+    assert weight_bytes(tree) == 64 * 128 // 2 + 64 * 128 + 64 * 2
