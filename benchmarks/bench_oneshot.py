@@ -141,6 +141,7 @@ def _calib_size(on_tpu: bool):
 
 def run_leg_worker(leg: str) -> None:
     """Subprocess body: run one leg, print its JSON to stdout."""
+    t_worker = time.time()
     import jax
 
     if os.environ.get("QTPU_BENCH_FORCE_CPU") == "1":
@@ -219,6 +220,14 @@ def run_leg_worker(leg: str) -> None:
     # smearing that makes per-stage attribution unreliable. The fit is
     # what the reference-workload projection should use.
     two_point = os.environ.get("QTPU_ONESHOT_TWO_POINT")
+    leg_budget = float(os.environ.get("QTPU_ONESHOT_LEG_TIMEOUT", "0"))
+    if two_point and leg_budget and (time.time() - t_worker) > 0.55 * leg_budget:
+        # cold-cache runs spend the budget on compiles in run 1; emitting
+        # the single-run record beats a leg timeout that loses everything
+        # (the main() projection falls back to the stage split)
+        log(f"[{leg}] skipping two-point run: {time.time()-t_worker:.0f}s "
+            f"of {leg_budget:.0f}s budget spent")
+        two_point = None
     if two_point:
         samples2 = max(int(two_point), batch_size)
         r2 = one_run(samples2)
