@@ -26,6 +26,7 @@ Prints ONE JSON line like bench.py.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -179,13 +180,27 @@ def main():
     # benched artifact is the served artifact by construction. Rooflines
     # stay pinned to the model's bf16 tied head; the w8 padded head
     # (head_bits=8) moves only the numerator.
+    #
+    # Three session layouts (all via serving_layout; QTPU_FP8_LAYOUT=
+    # resident is the session's own HBM-tight override that pins fp8 at
+    # rest):
+    #  * model accounting (bf16 tied head, fp8 at rest) -> streamed_bytes
+    #    dual rooflines, which need the kind="fp8" leaves — on real TPUs
+    #    the default layout has already hoisted them to bf16-dense and the
+    #    converted leaves are indistinguishable from native dense;
+    #  * resident + w8 head -> the fallback row's scan;
+    #  * default (capacity-gated) + w8 head -> the main row.
     from quantizers_tpu.serve.session import serving_layout
 
     raw = params
-    params = jax.block_until_ready(serving_layout(spec, raw))
-    resident, ideal = streamed_bytes(params)
+    os.environ["QTPU_FP8_LAYOUT"] = "resident"
+    resident, ideal = streamed_bytes(serving_layout(spec, raw))
+    params_resident = jax.block_until_ready(
+        serving_layout(spec, raw, head_bits=8 if on_tpu else None))
+    os.environ["QTPU_FP8_LAYOUT"] = "auto"
+    params = jax.block_until_ready(
+        serving_layout(spec, raw, head_bits=8 if on_tpu else None))
     if on_tpu:
-        params = jax.block_until_ready(serving_layout(spec, raw, head_bits=8))
         log("serving layout: w8 padded logits head")
     del raw
     log(f"params built in {time.time()-t0:.0f}s; bf16-resident stream "
@@ -216,19 +231,21 @@ def main():
 
     tok_s = B * steps / best
 
-    # second row: fp8-RESIDENT fallback (capacity gate forced off — the
-    # per-use-dequant path a full-size GLM-Flash takes when the bf16-dense
-    # copy doesn't fit one chip)
+    # second row: fp8-RESIDENT fallback (capacity gate pinned off via the
+    # session's QTPU_FP8_LAYOUT=resident layout — the per-use-dequant path
+    # a full-size GLM-Flash takes when the bf16-dense copy doesn't fit one
+    # chip). params_resident still carries at-rest fp8 leaves even on
+    # backends where the default layout pre-hoisted to dense.
     t0 = time.time()
-    toks, _ = _decode_scan_fp8_resident(params, spec, caches, first,
+    toks, _ = _decode_scan_fp8_resident(params_resident, spec, caches, first,
                                         steps=steps)
     np.asarray(toks)
     log(f"resident decode compile+first {time.time()-t0:.0f}s")
     best_res = float("inf")
     for i in range(2):
         t0 = time.time()
-        toks, _ = _decode_scan_fp8_resident(params, spec, caches, first + i,
-                                            steps=steps)
+        toks, _ = _decode_scan_fp8_resident(params_resident, spec, caches,
+                                            first + i, steps=steps)
         np.asarray(toks)
         best_res = min(best_res, time.time() - t0)
         log(f"resident run {i}: {(time.time()-t0)*1e3:.0f} ms / {steps} steps")

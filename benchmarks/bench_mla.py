@@ -114,6 +114,7 @@ def main():
     params = jax.block_until_ready(serving_layout(spec, raw))
     wbytes = weight_bytes(params)
     if on_tpu:
+        params = None  # free the accounting layout before the timed one
         params = jax.block_until_ready(serving_layout(spec, raw, head_bits=8))
         log("serving layout: w8 padded logits head")
     del raw

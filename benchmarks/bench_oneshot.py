@@ -220,7 +220,7 @@ def run_leg_worker(leg: str) -> None:
     # smearing that makes per-stage attribution unreliable. The fit is
     # what the reference-workload projection should use.
     two_point = os.environ.get("QTPU_ONESHOT_TWO_POINT")
-    leg_budget = float(os.environ.get("QTPU_ONESHOT_LEG_TIMEOUT", "0"))
+    leg_budget = float(os.environ.get("QTPU_ONESHOT_LEG_TIMEOUT", "2400"))
     if two_point and leg_budget and (time.time() - t_worker) > 0.55 * leg_budget:
         # cold-cache runs spend the budget on compiles in run 1; emitting
         # the single-run record beats a leg timeout that loses everything

@@ -246,7 +246,8 @@ def _nvfp4_layout_decision(tree: Any, nvfp4_int8: Optional[bool],
 
 def i4_device_layout(tree: Any, nvfp4_int8: Optional[bool] = None,
                      expert_shards: int = 1,
-                     nvfp4_int8_experts: Optional[bool] = None) -> Any:
+                     nvfp4_int8_experts: Optional[bool] = None,
+                     fp8_dense: Optional[bool] = None) -> Any:
     """Swap quantized payloads in a params pytree for the fast TPU device
     layouts: symmetric w4 -> signed int4 (:func:`w4_packed_to_int4`),
     nvfp4 -> int8-doubled (:func:`nvfp4_packed_to_i8`), fp8 -> bf16 dense
@@ -313,11 +314,16 @@ def i4_device_layout(tree: Any, nvfp4_int8: Optional[bool] = None,
         nonlocal decide_int8
         if not (isinstance(x, QuantLinear) and x.kind == "fp8"):
             return x
-        if decide_int8 is None:
-            decide_int8 = _nvfp4_layout_decision(tree, nvfp4_int8,
-                                                 expert_shards)
-        if not decide_int8:
-            return x  # over capacity: keep fp8 at rest, pay per-step dequant
+        if fp8_dense is not None:
+            if not fp8_dense:
+                return x  # pinned resident (QTPU_FP8_LAYOUT=resident)
+        else:
+            if decide_int8 is None:
+                decide_int8 = _nvfp4_layout_decision(tree, nvfp4_int8,
+                                                     expert_shards)
+            if not decide_int8:
+                # over capacity: keep fp8 at rest, pay per-step dequant
+                return x
         md = dict(x.meta)
         return QuantLinear(kind="dense", weight=x.dequantize(jnp.bfloat16),
                            bias=x.bias,

@@ -125,11 +125,17 @@ def serving_layout(spec: ModelSpec, params: Dict[str, Any],
             from ..ops.linear import moe_w8pc_layout
 
             params = jax.jit(moe_w8pc_layout)(params)
+        # QTPU_FP8_LAYOUT=resident pins fp8 weights at rest (per-use
+        # dequant in the decode jit) even when the bf16-dense hoist would
+        # fit — the HBM-tight override, and what bench_fp8's fallback row
+        # measures
+        fp8_layout = os.environ.get("QTPU_FP8_LAYOUT", "auto")
         if int4_jit_args_supported():
             params = jax.jit(partial(
                 i4_device_layout,
                 nvfp4_int8=plan["int8_ok"],
                 nvfp4_int8_experts=plan["int8_ok"] and moe_layout != "packed",
+                fp8_dense=False if fp8_layout == "resident" else None,
             ))(params)
     return params
 

@@ -710,6 +710,28 @@ class TestFp8ServingLayout:
         np.testing.assert_array_equal(np.asarray(out.weight, np.float32), ref)
         assert kept.kind == "fp8"  # over-capacity: fp8 stays at rest
 
+    def test_fp8_dense_pin_overrides_capacity(self):
+        """fp8_dense pins the fp8 layout independently of the capacity
+        decision — the session's QTPU_FP8_LAYOUT=resident override and
+        what bench_fp8's fallback row measures (round-5 review: on real
+        TPUs the default layout pre-hoists, so the fallback needs the
+        pinned-resident layout, not a post-hoc gate)."""
+        from quantizers_tpu.ops import dispatch
+        from quantizers_tpu.ops import linear as linmod
+
+        lin = self._fp8_lin()
+        orig = dispatch._on_tpu
+        dispatch._on_tpu = lambda: True
+        try:
+            pinned = linmod.i4_device_layout(
+                {"l": lin}, nvfp4_int8=True, fp8_dense=False)["l"]
+            forced = linmod.i4_device_layout(
+                {"l": lin}, nvfp4_int8=False, fp8_dense=True)["l"]
+        finally:
+            dispatch._on_tpu = orig
+        assert pinned.kind == "fp8"    # resident despite capacity OK
+        assert forced.kind == "dense"  # dense despite capacity NO
+
     def test_capacity_plan_prices_fp8_doubling(self):
         from quantizers_tpu.ops.linear import nvfp4_capacity_plan
 
